@@ -1,0 +1,230 @@
+"""Functional NN blocks — the ops layer of the framework.
+
+TPU-native re-designs of the reference blocks
+(``/root/reference/graphs4cfd/nn/blocks.py``), as pure functions over
+parameter pytrees and padded arrays:
+
+* ``gn_block``       — Battaglia GN block (``blocks.py:147-190``).
+* ``down_mp``        — MuS grid-cluster pooling edge-model (``blocks.py:193-237``).
+* ``pool_edges``     — runtime half of ``pool_edge`` (``blocks.py:51-68``);
+                       the static half lives in ``ops.pool_edge_structure``.
+* ``up_mp``          — MuS unpooling edge-model (``blocks.py:240-290``).
+* ``edge_mp``        — REMuS line-graph MP (``blocks.py:293-333``).
+* ``down_edge_mp``   — REMuS inter-level pooling (``blocks.py:336-381``).
+* ``up_edge_mp``     — REMuS unpooling (``blocks.py:384-456``).
+* ``edge_scalar_to_node_vector`` — projection-aggregation solve
+                       (``blocks.py:88-114``) via closed-form pinverse.
+
+Angle sets use the fixed-k gather layout from ``ops.angles`` (``[E, k, ·]``),
+so every REMuS aggregation is a mean over a static axis.  Node aggregation
+in ``gn_block`` uses the fixed-k reshape path when the graph has exact
+indegree k (canonical k-NN layout), falling back to receiver-sorted
+segment-mean otherwise (pooled MuS levels).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.segment import segment_mean, segment_sum, aggregate_fixed_k
+from .mlp import apply_mlp
+
+
+def gn_block(params: dict,
+             v: jnp.ndarray,
+             e: jnp.ndarray,
+             senders: jnp.ndarray,
+             receivers: jnp.ndarray,
+             *,
+             fixed_k: Optional[int] = None,
+             aggr: str = "mean",
+             edge_mask: Optional[jnp.ndarray] = None,
+             compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One message-passing step: edge update → aggregate → node update.
+
+    Matches ``GNBlock.forward`` (``blocks.py:175-186``): the edge MLP sees
+    ``[e, v_sender, v_receiver]``, messages are mean-aggregated onto
+    receivers, the node MLP sees ``[aggr, v]``.  Returns ``(v', e')``.
+    """
+    num_nodes = v.shape[0]
+    e_in = jnp.concatenate([e, v[senders], v[receivers]], axis=-1)
+    e_new = apply_mlp(params["edge_mlp"], e_in, compute_dtype=compute_dtype)
+    if fixed_k is not None:
+        aggregated = aggregate_fixed_k(e_new, fixed_k, num_nodes,
+                                       reduce=aggr, edge_mask=edge_mask)
+    elif aggr == "mean":
+        aggregated = segment_mean(e_new, receivers, num_nodes,
+                                  mask=edge_mask, indices_are_sorted=True)
+    else:
+        aggregated = segment_sum(e_new, receivers, num_nodes,
+                                 mask=edge_mask, indices_are_sorted=True)
+    v_in = jnp.concatenate([aggregated, v], axis=-1)
+    v_new = apply_mlp(params["node_mlp"], v_in, compute_dtype=compute_dtype)
+    return v_new, e_new
+
+
+def down_mp(params: dict,
+            field: jnp.ndarray,
+            e_rel: jnp.ndarray,
+            parent: jnp.ndarray,
+            num_coarse: int,
+            *,
+            activation: Optional[Callable] = jnp.tanh,
+            node_mask: Optional[jnp.ndarray] = None,
+            compute_dtype=jnp.float32) -> jnp.ndarray:
+    """MuS pooling: per-fine-node edge model + cluster mean.
+
+    Matches ``DownMP.forward`` (``blocks.py:219-234``): the edge MLP sees
+    ``[e_rel, field]`` over every fine node; results are mean-reduced per
+    coarse parent; tanh applied.  (The reference scatters by raw voxel id
+    then compacts — identical to scattering by the compacted ``parent``.)
+    """
+    e = apply_mlp(params,
+                  jnp.concatenate([e_rel, field], axis=-1),
+                  compute_dtype=compute_dtype)
+    coarse = segment_mean(e, parent, num_coarse, mask=node_mask)
+    if activation is not None:
+        coarse = activation(coarse)
+    return coarse
+
+
+def pool_edges(edge_attr: jnp.ndarray,
+               fine_to_coarse: jnp.ndarray,
+               num_coarse_edges: int) -> jnp.ndarray:
+    """Runtime edge coalescing: mean of fine edge features per coarse edge.
+
+    Matches ``pool_edge`` with ``aggr='mean'`` (``blocks.py:51-68``);
+    ``fine_to_coarse`` is -1 for dropped self-loops / padded edges.
+    """
+    mask = fine_to_coarse >= 0
+    return segment_mean(edge_attr, fine_to_coarse, num_coarse_edges,
+                        mask=mask)
+
+
+def up_mp(params: dict,
+          field_coarse: jnp.ndarray,
+          e_rel: jnp.ndarray,
+          parent: jnp.ndarray,
+          field_fine_skip: jnp.ndarray,
+          *,
+          activation: Optional[Callable] = jnp.tanh,
+          compute_dtype=jnp.float32) -> jnp.ndarray:
+    """MuS unpooling: per-fine-node edge model with skip connection.
+
+    Matches ``UpMP.forward`` (``blocks.py:265-290``): MLP over
+    ``[-e_rel, field_coarse[parent], skip]``, tanh applied.
+    """
+    x = jnp.concatenate([-e_rel, field_coarse[parent], field_fine_skip],
+                        axis=-1)
+    out = apply_mlp(params, x, compute_dtype=compute_dtype)
+    if activation is not None:
+        out = activation(out)
+    return out
+
+
+# --------------------------------------------------------------------- REMuS
+def edge_mp(params: dict,
+            e: jnp.ndarray,
+            a: jnp.ndarray,
+            angle_src: jnp.ndarray,
+            *,
+            aggr: str = "mean",
+            compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """REMuS MP on the line graph (``EdgeMP.forward``, ``blocks.py:322-333``).
+
+    ``a`` is ``[E, k, Fa]`` (angles grouped by receiver edge), ``angle_src``
+    is ``[E, k]`` (sender-edge ids).  Angle MLP sees ``[a, e_send, e_recv]``;
+    angles aggregate onto their receiver edge by mean over the k axis; edge
+    MLP sees ``[aggr, e]``.  Returns ``(e', a')``.
+    """
+    E, k, _ = a.shape
+    e_send = e[angle_src]                       # [E, k, Fe]
+    e_recv = jnp.broadcast_to(e[:, None, :], (E, k, e.shape[-1]))
+    a_new = apply_mlp(params["angle_mlp"],
+                      jnp.concatenate([a, e_send, e_recv], axis=-1),
+                      compute_dtype=compute_dtype)
+    aggregated = a_new.mean(axis=1) if aggr == "mean" else a_new.sum(axis=1)
+    e_new = apply_mlp(params["edge_mlp"],
+                      jnp.concatenate([aggregated, e], axis=-1),
+                      compute_dtype=compute_dtype)
+    return e_new, a_new
+
+
+def down_edge_mp(params: dict,
+                 e_fine: jnp.ndarray,
+                 e_coarse: jnp.ndarray,
+                 a12: jnp.ndarray,
+                 angle_src12: jnp.ndarray,
+                 *,
+                 compute_dtype=jnp.float32) -> jnp.ndarray:
+    """REMuS pooling via inter-level angles (``DownEdgeMP.forward``,
+    ``blocks.py:360-381``).  ``a12`` is ``[Ec, k, Fa]`` grouped by receiving
+    coarse edge; ``angle_src12`` indexes fine edges.  Returns updated coarse
+    edge features."""
+    Ec, k, _ = a12.shape
+    e_send = e_fine[angle_src12]
+    e_recv = jnp.broadcast_to(e_coarse[:, None, :],
+                              (Ec, k, e_coarse.shape[-1]))
+    a_new = apply_mlp(params["angle_mlp"],
+                      jnp.concatenate([a12, e_send, e_recv], axis=-1),
+                      compute_dtype=compute_dtype)
+    aggregated = a_new.mean(axis=1)
+    return apply_mlp(params["edge_mlp"],
+                     jnp.concatenate([aggregated, e_coarse], axis=-1),
+                     compute_dtype=compute_dtype)
+
+
+def edge_scalar_to_node_vector(edge_attr: jnp.ndarray,
+                               unit_vec_pinv: jnp.ndarray) -> jnp.ndarray:
+    """Solve per-node ``[ê_ij][u_j] = [u_ij]`` (``blocks.py:88-114``).
+
+    ``edge_attr`` ``[V*k, F]`` receiver-sorted; ``unit_vec_pinv`` ``[V, 2, k]``
+    precomputed pseudo-inverses.  Returns node vectors ``[V, F, 2]`` (the
+    reference flattens this F-major to ``[V, 2F]``).
+    """
+    V = unit_vec_pinv.shape[0]
+    k = unit_vec_pinv.shape[2]
+    e = edge_attr.reshape(V, k, -1)             # [V, k, F]
+    v = unit_vec_pinv @ e                        # [V, 2, F]
+    return jnp.swapaxes(v, 1, 2)                 # [V, F, 2]
+
+
+def project_node_vectors_to_edges(node_vec: jnp.ndarray,
+                                  receivers: jnp.ndarray,
+                                  unit_vec: jnp.ndarray) -> jnp.ndarray:
+    """Project node vectors ``[V, F, 2]`` onto receiving edges' unit vectors
+    → edge scalars ``[E, F]`` (cf. ``blocks.py:453-454``,
+    ``remus_gnn.py:124-126``)."""
+    g = node_vec[receivers]                      # [E, F, 2]
+    return (g * unit_vec[:, None, :]).sum(axis=-1)
+
+
+def up_edge_mp(params: dict,
+               e_coarse: jnp.ndarray,
+               unit_pinv_coarse: jnp.ndarray,
+               interp_idx: jnp.ndarray,
+               interp_w: jnp.ndarray,
+               receivers_fine: jnp.ndarray,
+               unit_vec_fine: jnp.ndarray,
+               e_fine_skip: jnp.ndarray,
+               *,
+               compute_dtype=jnp.float32) -> jnp.ndarray:
+    """REMuS unpooling (``UpEdgeMP.forward``, ``blocks.py:408-456``):
+    coarse edge scalars → coarse node vectors (pinverse) → k-NN-interpolated
+    fine node vectors → projected fine edge scalars → MLP with skip.
+
+    All indices are in *local level* numbering (coarse levels renumbered
+    once on host, unlike the reference's per-forward ``v1[coarse_mask1]``
+    scatter)."""
+    from ..ops.interp import knn_interpolate
+    v_coarse = edge_scalar_to_node_vector(e_coarse, unit_pinv_coarse)
+    Vc, F, _ = v_coarse.shape
+    v_fine = knn_interpolate(v_coarse.reshape(Vc, F * 2), interp_idx,
+                             interp_w)
+    v_fine = v_fine.reshape(-1, F, 2)
+    e1 = project_node_vectors_to_edges(v_fine, receivers_fine, unit_vec_fine)
+    return apply_mlp(params,
+                     jnp.concatenate([e1, e_fine_skip], axis=-1),
+                     compute_dtype=compute_dtype)

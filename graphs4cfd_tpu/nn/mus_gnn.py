@@ -1,0 +1,164 @@
+"""MuS-GNN family — multi-scale GNNs with grid-cluster pooling.
+
+One generic V-cycle engine replaces the reference's eight hand-unrolled
+classes (``/root/reference/graphs4cfd/nn/mus_gnn.py``: ``NsOneScaleGNN:11``,
+``NsTwoScaleGNN:100``, ``NsThreeScaleGNN:221``, ``NsFourScaleGNN:376``,
+``AdvOneScaleGNN:566``, ``AdvTwoScaleGNN:639``, ``AdvThreeScaleGNN:744``,
+``AdvFourScaleGNN:883``), which differ only in layer counts/order.  The
+execution plan is derived from the arch dict's key order (the dict is the
+de-facto model IR, persisted in checkpoints), so any reference arch runs
+as-is; the 8 class names are kept as aliases for API parity.
+
+Semantics mirrored exactly (cf. ``mus_gnn.py:312-373``):
+  * node input = concat(field, loc?, glob?, omega?)
+  * SELU after encoders and after both outputs of every MP layer
+  * tanh on Down/Up pooling outputs
+  * skip stack: Down pushes (field, edge_attr); Up consumes the coarse
+    field and restores the skip level's edge features
+  * residual step: ``field[:, -num_fields:] + decoder(field)``
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graph import Graph
+from .blocks import gn_block, down_mp, up_mp, pool_edges
+from .model import GNN
+
+_selu = jax.nn.selu
+
+_RESERVED = ("edge_encoder", "node_encoder", "decoder")
+
+
+def build_mus_plan(arch: dict) -> List[Tuple]:
+    """Derive the V-cycle execution plan from arch key order.
+
+    ``mp*`` → MP layer; ``down_mp{h}{l}`` → pool to level ``l``;
+    ``up_mp{l}{h}`` → unpool from level ``l``.
+    """
+    plan = []
+    for name in arch:
+        if name in _RESERVED:
+            continue
+        if name.startswith("down_mp"):
+            plan.append(("down", name, int(name[-1])))        # target level
+        elif name.startswith("up_mp"):
+            plan.append(("up", name, int(name[len("up_mp")])))  # source level
+        elif name.startswith("mp"):
+            plan.append(("mp", name))
+        else:
+            raise ValueError(f"Unknown arch key for MuS plan: {name!r}")
+    return plan
+
+
+def _node_input(graph: Graph) -> jnp.ndarray:
+    """concat(field, loc?, glob?, omega?) — ``mus_gnn.py:315``."""
+    parts = [graph.field]
+    for name in ("loc", "glob", "omega"):
+        if graph.has(name):
+            parts.append(graph.data[name])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def mus_apply(params: dict, graph: Graph, plan, num_fields: int,
+              compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Generic MuS-GNN forward (one residual time step)."""
+    cd = compute_dtype
+    v = _selu(
+        jax.tree_util.Partial(lambda p, x: x)(None, None) or
+        _apply_enc(params["node_encoder"], _node_input(graph), cd))
+    e = _selu(_apply_enc(params["edge_encoder"], graph.edge_attr, cd))
+    level = 1
+    skips = []
+    fixed_k = graph.get("fixed_k")
+    for op in plan:
+        if op[0] == "mp":
+            _, name = op
+            if level == 1:
+                v, e = gn_block(params[name], v, e, graph.senders,
+                                graph.receivers, fixed_k=fixed_k,
+                                compute_dtype=cd)
+            else:
+                v, e = gn_block(params[name], v, e,
+                                graph.data[f"senders_{level}"],
+                                graph.data[f"receivers_{level}"],
+                                edge_mask=graph.data[f"edge_mask_{level}"],
+                                compute_dtype=cd)
+            v, e = _selu(v), _selu(e)
+        elif op[0] == "down":
+            _, name, tgt = op
+            skips.append((v, e))
+            node_mask = (graph.node_mask if level == 1
+                         else graph.data[f"node_mask_{level}"])
+            num_coarse = graph.data[f"node_mask_{tgt}"].shape[0]
+            v = down_mp(params[name], v, graph.data[f"e_rel_{tgt}"],
+                        graph.data[f"parent_{tgt}"], num_coarse,
+                        activation=jnp.tanh, node_mask=node_mask,
+                        compute_dtype=cd)
+            e = pool_edges(e, graph.data[f"edge_f2c_{tgt}"],
+                           graph.data[f"senders_{tgt}"].shape[0])
+            level = tgt
+        elif op[0] == "up":
+            _, name, src = op
+            v_skip, e_skip = skips.pop()
+            v = up_mp(params[name], v, graph.data[f"e_rel_{src}"],
+                      graph.data[f"parent_{src}"], v_skip,
+                      activation=jnp.tanh, compute_dtype=cd)
+            e = e_skip
+            level = src - 1
+    out = _apply_enc(params["decoder"], v, cd)
+    return graph.field[:, -num_fields:] + out
+
+
+def _apply_enc(p, x, cd):
+    from .mlp import apply_mlp
+    return apply_mlp(p, x, compute_dtype=cd)
+
+
+class MuSGNN(GNN):
+    """Generic multi-scale GNN with grid-cluster pooling (any arch dict)."""
+    family = "mus"
+
+    def build_plan(self, arch: dict):
+        return build_mus_plan(arch)
+
+    def apply(self, params, graph: Graph, t: Optional[int] = None):
+        return mus_apply(params, graph, self.plan, self.num_fields,
+                         self.compute_dtype)
+
+
+# ---- reference class-name aliases (API parity; mus_gnn.py:11,100,221,376,
+# 566,639,744,883) ----------------------------------------------------------
+class NsOneScaleGNN(MuSGNN):
+    pass
+
+
+class NsTwoScaleGNN(MuSGNN):
+    pass
+
+
+class NsThreeScaleGNN(MuSGNN):
+    pass
+
+
+class NsFourScaleGNN(MuSGNN):
+    pass
+
+
+class AdvOneScaleGNN(MuSGNN):
+    pass
+
+
+class AdvTwoScaleGNN(MuSGNN):
+    pass
+
+
+class AdvThreeScaleGNN(MuSGNN):
+    pass
+
+
+class AdvFourScaleGNN(MuSGNN):
+    pass
