@@ -49,14 +49,22 @@ class Graph:
     data: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     # ---- pytree protocol -------------------------------------------------
+    # Arrays are leaves; python scalars/strings (fixed_k, num_levels, ...)
+    # go into the hashable treedef so they stay *static* under jit.
     def tree_flatten(self):
-        keys = sorted(self.data.keys())
-        leaves = [self.data[k] for k in keys]
-        return leaves, tuple(keys)
+        array_keys = tuple(sorted(k for k, v in self.data.items()
+                                  if _is_array(v) or hasattr(v, "dtype")))
+        static = tuple(sorted((k, v) for k, v in self.data.items()
+                              if k not in array_keys))
+        leaves = [self.data[k] for k in array_keys]
+        return leaves, (array_keys, static)
 
     @classmethod
-    def tree_unflatten(cls, keys, leaves):
-        return cls(data=dict(zip(keys, leaves)))
+    def tree_unflatten(cls, aux, leaves):
+        array_keys, static = aux
+        data = dict(zip(array_keys, leaves))
+        data.update(dict(static))
+        return cls(data=data)
 
     # ---- attribute-style access (matches reference ergonomics) ----------
     def __getattr__(self, name):

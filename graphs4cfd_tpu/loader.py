@@ -1,0 +1,224 @@
+"""Batch assembly: concatenation with index offsets + padding/bucketing.
+
+Replaces the reference's ``Collater``/``DataLoader``
+(``/root/reference/graphs4cfd/loader.py:7-76``).  PyG's ``Batch`` offsets
+node indices at collate time and the reference patches REMuS angle indices
+by hand (``loader.py:18-51``); here a single table of offset rules covers
+every per-level array, and the batch is then **padded to size buckets** so
+XLA compiles one program per bucket instead of one per ragged batch.
+
+Padding invariants (hold for every consumer in ``nn/``):
+* Level arrays are padded with zeros; ``node_mask{_l}`` / ``edge_mask{_l}``
+  flag valid rows.
+* Fixed-indegree levels keep ``E = k·V`` exactly: pad edges are self-loops
+  on pad nodes (sender = receiver = row//k), so the ``[V, k, F]`` reshape
+  aggregation stays valid and pad garbage never reaches valid rows.
+* ``edge_f2c_{l}`` pads with -1 (masked in ``pool_edges``).
+* ``up_w_{l}`` pads with **1** so interpolation normalisation never divides
+  by zero (NaNs in pad rows would poison parameter gradients through
+  matmuls even when the loss masks them).
+* All padded index arrays stay in-bounds; garbage flows only into pad rows.
+"""
+from __future__ import annotations
+
+import math
+import re
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from .graph import Graph
+
+#: level-1 node-space arrays that concatenate verbatim
+_L1_NODE_KEYS = ("field", "target", "omega", "loc", "glob", "bound")
+#: static (non-array) keys that must agree across samples
+_STATIC_KEYS_RE = re.compile(r"^(fixed_k(_\d)?|num_levels|interp_k)$")
+
+
+def _suffix_level(key: str) -> int:
+    m = re.search(r"_(\d)$", key)
+    return int(m.group(1)) if m else 1
+
+
+def _rules(key: str):
+    """→ (count_space, offset_space); spaces are ('node'|'edge', level)."""
+    l = _suffix_level(key)
+    base = re.sub(r"_\d$", "", key)
+    if base in ("pos",):
+        return ("node", l), None
+    if key in _L1_NODE_KEYS:
+        return ("node", 1), None
+    if base in ("senders", "receivers"):
+        return ("edge", l), ("node", l)
+    if base in ("edge_attr", "angle_attr", "xangle_attr", "unit_vec"):
+        return ("edge", l), None
+    if base == "parent":
+        return ("node", l - 1), ("node", l)
+    if base == "e_rel":
+        return ("node", l - 1), None
+    if base == "edge_f2c":
+        return ("edge", l - 1), ("edge", l)
+    if base == "down_idx":
+        return ("node", l), ("node", l - 1)
+    if base == "node_origin":
+        return ("node", l), ("node", 1)
+    if base == "up_idx":
+        return ("node", l - 1), ("node", l)
+    if base == "up_w":
+        return ("node", l - 1), None
+    if base == "unit_pinv":
+        return ("node", l), None
+    if base == "angle_src":
+        return ("edge", l), ("edge", l)
+    if base == "xangle_src":
+        return ("edge", l), ("edge", l - 1)
+    raise KeyError(f"No collate rule for graph key {key!r}")
+
+
+def _round_up(n: int, mult: int) -> int:
+    return mult * math.ceil(n / mult) if mult > 1 else n
+
+
+def collate(graphs: Sequence[Graph],
+            node_bucket: int = 64,
+            edge_bucket: int = 128) -> Graph:
+    """Merge per-sample graphs into one padded super-graph."""
+    g0 = graphs[0]
+    keys = [k for k in g0.data if not _STATIC_KEYS_RE.match(k)]
+    static = {k: g0.data[k] for k in g0.data if _STATIC_KEYS_RE.match(k)}
+    for g in graphs[1:]:
+        for k, v in static.items():
+            assert g.data.get(k) == v, f"static key {k} differs across batch"
+
+    # ---- per-level valid counts and offsets --------------------------------
+    levels = sorted({_suffix_level(k) for k in keys if k.startswith("pos")})
+    counts = {}  # (space, level) -> per-sample counts
+    for l in levels:
+        pos_key = "pos" if l == 1 else f"pos_{l}"
+        counts[("node", l)] = [np.asarray(g.data[pos_key]).shape[0]
+                               for g in graphs]
+        s_key = "senders" if l == 1 else f"senders_{l}"
+        if s_key in g0.data:
+            counts[("edge", l)] = [np.asarray(g.data[s_key]).shape[0]
+                                   for g in graphs]
+    offsets = {space: np.concatenate([[0], np.cumsum(c)])
+               for space, c in counts.items()}
+
+    # ---- fixed-k layout info ----------------------------------------------
+    def fixed_k_of(level: int) -> Optional[int]:
+        if level == 1:
+            return static.get("fixed_k")
+        return static.get(f"fixed_k_{level}")  # set by gMuS/REMuS transforms
+
+    # ---- padded sizes ------------------------------------------------------
+    padded = {}
+    for (space, l), c in counts.items():
+        total = int(sum(c))
+        if space == "node":
+            padded[(space, l)] = _round_up(total, node_bucket)
+    for (space, l), c in counts.items():
+        if space == "edge":
+            k = fixed_k_of(l)
+            if k is not None:
+                padded[(space, l)] = k * padded[("node", l)]
+            else:
+                padded[(space, l)] = _round_up(int(sum(c)), edge_bucket)
+
+    out = {}
+    # ---- concat + offset + pad each key -----------------------------------
+    for key in keys:
+        count_space, offset_space = _rules(key)
+        parts = []
+        for i, g in enumerate(graphs):
+            arr = np.asarray(g.data[key])
+            if offset_space is not None:
+                off = int(offsets[offset_space][i])
+                if key.startswith("edge_f2c"):
+                    arr = np.where(arr >= 0, arr + off, -1)
+                else:
+                    arr = arr + off
+            parts.append(arr)
+        merged = np.concatenate(parts, axis=0)
+        total_padded = padded[count_space]
+        pad_rows = total_padded - merged.shape[0]
+        if pad_rows > 0:
+            base = re.sub(r"_\d$", "", key)
+            if base == "edge_f2c":
+                fill = np.full((pad_rows,) + merged.shape[1:], -1,
+                               dtype=merged.dtype)
+            elif base == "up_w":
+                fill = np.ones((pad_rows,) + merged.shape[1:],
+                               dtype=merged.dtype)
+            elif base in ("senders", "receivers"):
+                k = fixed_k_of(count_space[1])
+                if k is not None:
+                    # self-loops on pad nodes keep the [V,k] reshape valid
+                    start = merged.shape[0]
+                    rows = (np.arange(start, start + pad_rows) // k)
+                    fill = rows.astype(merged.dtype)
+                else:
+                    fill = np.zeros((pad_rows,), dtype=merged.dtype)
+            else:
+                fill = np.zeros((pad_rows,) + merged.shape[1:],
+                                dtype=merged.dtype)
+            merged = np.concatenate([merged, fill], axis=0)
+        out[key] = merged
+
+    # ---- masks + batch vector ---------------------------------------------
+    for (space, l), c in counts.items():
+        total = int(sum(c))
+        name = ("node_mask" if space == "node" else "edge_mask")
+        name += "" if l == 1 else f"_{l}"
+        mask = np.zeros(padded[(space, l)], dtype=bool)
+        mask[:total] = True
+        out[name] = mask
+    batch = np.concatenate([np.full(c, i, dtype=np.int32)
+                            for i, c in enumerate(counts[("node", 1)])])
+    out["batch"] = np.concatenate([
+        batch, np.full(padded[("node", 1)] - len(batch), len(graphs),
+                       dtype=np.int32)])
+    out["num_graphs"] = len(graphs)
+    out.update(static)
+    return Graph(data=out)
+
+
+class DataLoader:
+    """Minimal epoch iterator: sample → per-sample transforms → collate.
+
+    Matches the reference DataLoader surface (``loader.py:64-76``); the
+    ``transform`` kwarg (the reference's whole-batch transform, e.g.
+    ``GridClustering``/``BuildKnnInterpWeights``) is applied per sample
+    *before* collation — equivalent for per-sample clustering semantics and
+    required for static-shape padding.
+    """
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
+                 transform: Optional[Callable] = None,
+                 node_bucket: int = 64, edge_bucket: int = 128,
+                 seed: int = 0, drop_last: bool = False, **_ignored):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.transform = transform
+        self.node_bucket = node_bucket
+        self.edge_bucket = edge_bucket
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return (n // self.batch_size if self.drop_last
+                else math.ceil(n / self.batch_size))
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            gs = [self.dataset[int(i)] for i in idx]
+            if self.transform is not None:
+                gs = [self.transform(g) for g in gs]
+            yield collate(gs, self.node_bucket, self.edge_bucket)

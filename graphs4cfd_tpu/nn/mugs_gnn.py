@@ -1,0 +1,106 @@
+"""gMuS-GNN family — multi-scale GNNs on Guillard-coarsened levels.
+
+One generic engine replaces the reference's three classes
+(``/root/reference/graphs4cfd/nn/mugs_gnn.py``: ``NsTwoGuillardScaleGNN:11``,
+``NsThreeGuillardScaleGNN:135``, ``NsFourGuillardScaleGNN:297``).  gMuS arch
+dicts carry no explicit down/up keys — the level of each ``mp`` layer is
+encoded in its name (``mp2xx`` → level 2 ...), and transitions are implicit
+where consecutive layers change level:
+
+  * down l→l+1: select rows by ``down_idx_{l+1}`` and switch to the level's
+    own encoded k-NN edges (the reference's mask-select + ``restriction``,
+    ``mugs_gnn.py:100-104`` / ``nn/blocks.py:9-32`` — done in local
+    numbering here, so restriction is a no-op at runtime).
+  * up l→l-1: k-NN-interpolate + concat skip (channel doubling — note the
+    wider ``mp121`` input 128+2·256, ``mugs_gnn.py:34``), restore the skip
+    level's edges (``mugs_gnn.py:114-117``).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graph import Graph
+from ..ops.interp import knn_interpolate
+from .blocks import gn_block
+from .mlp import apply_mlp
+from .model import GNN
+
+_selu = jax.nn.selu
+
+
+def build_mugs_plan(arch: dict) -> List[Tuple]:
+    """[("mp", name, level)] in execution order, levels parsed from names."""
+    plan = []
+    for name in arch:
+        if name.startswith("mp"):
+            plan.append(("mp", name, int(name[2])))
+        elif not (name.startswith(("edge_encoder", "node_encoder"))
+                  or name == "decoder"):
+            raise ValueError(f"Unknown arch key for gMuS plan: {name!r}")
+    return plan
+
+
+def mugs_apply(params: dict, graph: Graph, plan, num_fields: int,
+               compute_dtype=jnp.float32) -> jnp.ndarray:
+    cd = compute_dtype
+    from .mus_gnn import _node_input
+    v = _selu(apply_mlp(params["node_encoder"], _node_input(graph),
+                        compute_dtype=cd))
+    num_levels = graph.num_levels
+    # encode every level's static edges up front (mugs_gnn.py:225-228)
+    e = {1: _selu(apply_mlp(params["edge_encoder"], graph.edge_attr,
+                            compute_dtype=cd))}
+    for l in range(2, num_levels + 1):
+        e[l] = _selu(apply_mlp(params[f"edge_encoder{l}"],
+                               graph.data[f"edge_attr_{l}"],
+                               compute_dtype=cd))
+    level = 1
+    skips = {}
+    for _, name, lvl in plan:
+        while lvl > level:  # implicit down transition(s)
+            level += 1
+            skips[level - 1] = v
+            v = v[graph.data[f"down_idx_{level}"]]
+        while lvl < level:  # implicit up transition(s)
+            v = knn_interpolate(v, graph.data[f"up_idx_{level}"],
+                                graph.data[f"up_w_{level}"])
+            v = jnp.concatenate([v, skips.pop(level - 1)], axis=-1)
+            level -= 1
+        suffix = "" if level == 1 else f"_{level}"
+        fixed_k = (graph.get("fixed_k") if level == 1
+                   else graph.get(f"fixed_k_{level}"))
+        v, e[level] = gn_block(params[name], v, e[level],
+                               graph.data[f"senders{suffix}"],
+                               graph.data[f"receivers{suffix}"],
+                               fixed_k=fixed_k, compute_dtype=cd)
+        v, e[level] = _selu(v), _selu(e[level])
+    out = apply_mlp(params["decoder"], v, compute_dtype=cd)
+    return graph.field[:, -num_fields:] + out
+
+
+class MuGSGNN(GNN):
+    """Generic Guillard-coarsened multi-scale GNN (any gMuS arch dict)."""
+    family = "mugs"
+
+    def build_plan(self, arch: dict):
+        return build_mugs_plan(arch)
+
+    def apply(self, params, graph: Graph, t: Optional[int] = None):
+        return mugs_apply(params, graph, self.plan, self.num_fields,
+                          self.compute_dtype)
+
+
+# ---- reference class-name aliases (mugs_gnn.py:11,135,297) ---------------
+class NsTwoGuillardScaleGNN(MuGSGNN):
+    pass
+
+
+class NsThreeGuillardScaleGNN(MuGSGNN):
+    pass
+
+
+class NsFourGuillardScaleGNN(MuGSGNN):
+    pass

@@ -67,9 +67,7 @@ def mus_apply(params: dict, graph: Graph, plan, num_fields: int,
               compute_dtype=jnp.float32) -> jnp.ndarray:
     """Generic MuS-GNN forward (one residual time step)."""
     cd = compute_dtype
-    v = _selu(
-        jax.tree_util.Partial(lambda p, x: x)(None, None) or
-        _apply_enc(params["node_encoder"], _node_input(graph), cd))
+    v = _selu(_apply_enc(params["node_encoder"], _node_input(graph), cd))
     e = _selu(_apply_enc(params["edge_encoder"], graph.edge_attr, cd))
     level = 1
     skips = []

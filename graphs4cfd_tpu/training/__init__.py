@@ -1,0 +1,11 @@
+"""Training/inference runtime: config, trainer, rollout, checkpoints."""
+from .config import TrainConfig
+from .schedule import ReduceLROnPlateau
+from .checkpoint import (save_checkpoint, load_checkpoint, load_weights,
+                         import_torch_state_dict)
+from .rollout import solve
+from .metrics_writer import MetricsWriter
+
+__all__ = ["TrainConfig", "ReduceLROnPlateau", "save_checkpoint",
+           "load_checkpoint", "load_weights", "import_torch_state_dict",
+           "solve", "MetricsWriter"]

@@ -1,0 +1,96 @@
+"""Checkpoint save/load with the reference's logical schema.
+
+The reference pickles ``{arch, weights, optimiser, n_out, lr, epoch,
+[scheduler]}`` (``/root/reference/graphs4cfd/nn/model.py:329-349``) and a
+bare checkpoint self-describes the architecture (``model.py:122-129``).
+Same here: one ``.chk`` file, arch dict included, arrays stored as NumPy.
+
+``import_torch_state_dict`` converts a reference PyTorch ``state_dict``
+into this framework's parameter pytree for per-layer parity testing
+(SURVEY §4 item 2).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(file_name: str, *, arch: dict, weights,
+                    opt_state=None, n_out: int = 1, lr: float = None,
+                    epoch: int = 0, scheduler_state: Optional[dict] = None):
+    checkpoint = {
+        "arch": arch,
+        "weights": _to_numpy(weights),
+        "optimiser": _to_numpy(opt_state) if opt_state is not None else None,
+        "n_out": n_out,
+        "lr": lr,
+        "epoch": epoch,
+    }
+    if scheduler_state is not None:
+        checkpoint["scheduler"] = scheduler_state
+    tmp = file_name + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(checkpoint, f)
+    os.replace(tmp, file_name)
+
+
+def load_checkpoint(file_name: str) -> dict:
+    with open(file_name, "rb") as f:
+        return pickle.load(f)
+
+
+def load_weights(file_name: str, like=None):
+    """Load a weights-only file (pickled pytree) onto device."""
+    with open(file_name, "rb") as f:
+        weights = pickle.load(f)
+    if isinstance(weights, dict) and "weights" in weights:
+        weights = weights["weights"]
+    return jax.tree_util.tree_map(jnp.asarray, weights)
+
+
+def import_torch_state_dict(state_dict: dict) -> dict:
+    """Convert a reference ``state_dict`` into this framework's pytree.
+
+    Reference naming (``nn/blocks.py:134-141,165-166``):
+    ``<block>.<submlp?>.MLP.linear_i.{weight,bias}`` and
+    ``...MLP.layer_norm.{weight,bias}``; torch Linear weights are
+    ``[out, in]`` → transposed to ``[in, out]``.
+    """
+    params: dict = {}
+    for name, tensor in state_dict.items():
+        arr = np.asarray(tensor, dtype=np.float32)
+        parts = name.split(".")
+        # e.g. mp111.edge_mlp.MLP.linear_1.weight
+        #      edge_encoder.MLP.linear_1.weight
+        #      down_mp12.down_mlp.MLP.linear_2.bias
+        mlp_idx = parts.index("MLP")
+        block = parts[0]
+        sub = parts[1:mlp_idx]  # [] or ['edge_mlp'] / ['node_mlp'] / ...
+        layer_name, kind = parts[mlp_idx + 1], parts[mlp_idx + 2]
+        node = params.setdefault(block, {})
+        if sub:
+            key = sub[0]
+            if key in ("down_mlp", "up_mlp"):  # stored flat in this framework
+                pass
+            else:
+                node = node.setdefault(key, {})
+        if layer_name == "layer_norm":
+            ln = node.setdefault("ln", {})
+            ln["scale" if kind == "weight" else "bias"] = arr
+        else:
+            i = int(layer_name.split("_")[1]) - 1
+            layers = node.setdefault("layers", [])
+            while len(layers) <= i:
+                layers.append({})
+            layers[i]["w" if kind == "weight" else "b"] = \
+                (arr.T if kind == "weight" else arr)
+    return params

@@ -1,0 +1,264 @@
+"""Training loop: jit-compiled multi-step train step + host-side epoch loop.
+
+TPU-native re-design of ``GNN.fit``
+(``/root/reference/graphs4cfd/nn/model.py:152-301``) with identical training
+semantics:
+
+* rollout curriculum ``num_steps`` with ``add_steps`` tolerance; on
+  increment the optimiser (and scheduler) are **re-initialised at base lr**
+  (``model.py:289-298``);
+* one optimiser step *per rollout step t*, not per batch
+  (``model.py:226-254``); the whole t-loop runs inside one jitted
+  ``lax.scan`` whose carry is (params, opt_state, field);
+* predictions are fed back detached (``stop_gradient``; ``model.py:228``);
+* gradient-norm logging *before* clipping (``model.py:238-251``), global
+  L2 clip from ``grad_clip['epoch']`` on;
+* validation rolls out ``max_n_out`` steps (``model.py:260-273``);
+* ReduceLROnPlateau on training or validation loss; lr-floor early stop
+  with a final checkpoint (``model.py:215-218``);
+* checkpoint/resume restores weights, optimiser, scheduler, curriculum
+  position and epoch (``model.py:175-185``), with ``.chk → .chk.bck``
+  rename (``model.py:196-199``).
+
+Instead of AMP GradScaler, ``mixed_precision`` selects bf16 matmul compute
+(f32 params/accumulation) — no loss scaling needed on TPU.
+"""
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..graph import Graph
+from .config import TrainConfig
+from .schedule import ReduceLROnPlateau
+from .checkpoint import load_checkpoint, save_checkpoint
+from .metrics_writer import MetricsWriter
+from ..nn.model import grad_norm2
+
+
+def _adam_opt():
+    # scale_by_adam + explicit lr multiply so the host can adjust lr
+    # (plateau schedule) without rebuilding the optimiser state.
+    return optax.scale_by_adam()
+
+
+def make_train_step(apply_fn, criterion, num_fields: int, n_out: int,
+                    grad_clip_limit: Optional[float]):
+    """Build the jitted multi-rollout-step training function."""
+    opt = _adam_opt()
+
+    def train_step(params, opt_state, graph: Graph, lr, clip_on):
+        target = graph.target
+
+        def body(carry, t):
+            params, opt_state, field = carry
+            g = graph.replace(field=field)
+
+            def loss_fn(p):
+                pred = apply_fn(p, g)
+                tgt = jax.lax.dynamic_slice_in_dim(
+                    target, t * num_fields, num_fields, axis=1)
+                return criterion(g, pred, tgt), pred
+
+            (loss, pred), grads = jax.value_and_grad(loss_fn,
+                                                     has_aux=True)(params)
+            gnorm = grad_norm2(grads)
+            if grad_clip_limit is not None:
+                scale = jnp.where(
+                    clip_on & (gnorm > grad_clip_limit),
+                    grad_clip_limit / jnp.maximum(gnorm, 1e-12), 1.0)
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(params, updates)
+            field = jnp.concatenate(
+                [field[:, num_fields:], jax.lax.stop_gradient(pred)], axis=1)
+            return (params, opt_state, field), (loss, gnorm)
+
+        (params, opt_state, _), (losses, gnorms) = jax.lax.scan(
+            body, (params, opt_state, graph.field),
+            jnp.arange(n_out, dtype=jnp.int32))
+        return params, opt_state, losses.mean(), gnorms.mean()
+
+    return jax.jit(train_step)
+
+
+def make_val_step(apply_fn, criterion, num_fields: int, max_n_out: int):
+    def val_step(params, graph: Graph):
+        target = graph.target
+
+        def body(field, t):
+            g = graph.replace(field=field)
+            pred = apply_fn(params, g)
+            tgt = jax.lax.dynamic_slice_in_dim(
+                target, t * num_fields, num_fields, axis=1)
+            loss = criterion(g, pred, tgt)
+            field = jnp.concatenate([field[:, num_fields:], pred], axis=1)
+            return field, loss
+
+        _, losses = jax.lax.scan(body, graph.field,
+                                 jnp.arange(max_n_out, dtype=jnp.int32))
+        return losses.mean()
+
+    return jax.jit(val_step)
+
+
+def fit(model, train_config: TrainConfig, train_loader,
+        val_loader=None):
+    """Train ``model`` — mirrors ``GNN.fit`` (``model.py:152-301``)."""
+    cfg = train_config
+    criterion = cfg["training_loss"]
+    num_steps_list = cfg["num_steps"]
+    max_n_out = num_steps_list[-1]
+    num_steps = iter(num_steps_list)
+    n_out = next(num_steps)
+
+    opt = _adam_opt()
+    opt_state = opt.init(model.params)
+    lr = cfg["lr"]
+    scheduler = None
+    if cfg["scheduler"] is not None:
+        scheduler = ReduceLROnPlateau(lr, cfg["scheduler"]["factor"],
+                                      cfg["scheduler"]["patience"])
+    initial_epoch = 1
+
+    # ---- resume ------------------------------------------------------------
+    if cfg["checkpoint"] is not None and os.path.exists(cfg["checkpoint"]):
+        print("Training from an existing check-point:", cfg["checkpoint"])
+        state = load_checkpoint(cfg["checkpoint"])
+        model.params = jax.tree_util.tree_map(jnp.asarray, state["weights"])
+        if state.get("optimiser") is not None:
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(opt_state),
+                jax.tree_util.tree_leaves(
+                    jax.tree_util.tree_map(jnp.asarray, state["optimiser"])))
+        lr = state.get("lr", lr)
+        if scheduler is not None and "scheduler" in state:
+            scheduler.load_state_dict(state["scheduler"])
+            lr = scheduler.lr
+        while n_out < state["n_out"]:
+            n_out = next(num_steps)
+        initial_epoch = state["epoch"] + 1
+    else:
+        if cfg["checkpoint"] is not None:
+            print("Not matching check-point file:", cfg["checkpoint"])
+        print("Training from randomly initialised weights")
+
+    # ---- .chk → .bck rename (model.py:196-199) ----------------------------
+    path = os.path.join(cfg["folder"], cfg["name"] + ".chk")
+    if os.path.exists(path):
+        print("Renaming", path, "to:", path + ".bck")
+        os.rename(path, path + ".bck")
+
+    writer = MetricsWriter(
+        os.path.join(cfg["tensor_board"], cfg["name"])
+        if cfg["tensor_board"] is not None else None)
+
+    compute_dtype = jnp.bfloat16 if cfg["mixed_precision"] else jnp.float32
+    if cfg["mixed_precision"]:
+        print("Training with bf16 matmul compute")
+        model.compute_dtype = compute_dtype
+
+    clip_limit = (cfg["grad_clip"]["limit"]
+                  if cfg["grad_clip"] is not None else None)
+    step_cache = {}
+
+    def get_step(n):
+        if n not in step_cache:
+            step_cache[n] = make_train_step(model.apply, criterion,
+                                            model.num_fields, n, clip_limit)
+        return step_cache[n]
+
+    val_step = (make_val_step(model.apply, cfg["validation_loss"] or criterion,
+                              model.num_fields, max_n_out)
+                if val_loader is not None else None)
+
+    print(f"Number of trainable parameters: {model.num_params}")
+    sched_state = scheduler.state_dict() if scheduler else None
+
+    for epoch in range(initial_epoch, cfg["epochs"] + 1):
+        if lr < cfg["stopping"]:
+            print(f"The learning rate is smaller than {cfg['stopping']}. "
+                  "Stopping training.")
+            model.save_checkpoint(path, n_out, epoch, opt_state=opt_state,
+                                  lr=lr, scheduler_state=sched_state)
+            break
+        print(f"Hyperparameters: n_out = {n_out}, lr = {lr}")
+        train_step = get_step(n_out)
+        training_loss = 0.0
+        gradients_norm = 0.0
+        num_iter = 0
+        t0 = time.time()
+        edges = 0
+        for graph in train_loader:
+            graph = graph.to_device()
+            clip_on = (cfg["grad_clip"] is not None
+                       and epoch > cfg["grad_clip"]["epoch"])
+            model.params, opt_state, loss, gnorm = train_step(
+                model.params, opt_state, graph, jnp.float32(lr),
+                jnp.bool_(clip_on))
+            training_loss += float(loss)
+            gradients_norm += float(gnorm)
+            edges += graph.num_edges * n_out
+            num_iter += 1
+        training_loss /= max(num_iter, 1)
+        gradients_norm /= max(num_iter, 1)
+        dt = time.time() - t0
+        eps_rate = edges / dt if dt > 0 else 0.0
+        print(f"Epoch: {epoch:4d}, Training   loss: {training_loss:.4e}, "
+              f"Gradients: {gradients_norm:.4e}, edges/s: {eps_rate:.3e}")
+
+        validation_loss = None
+        if val_loader is not None:
+            validation_loss = 0.0
+            vit = 0
+            for graph in val_loader:
+                validation_loss += float(val_step(model.params,
+                                                  graph.to_device()))
+                vit += 1
+            validation_loss /= max(vit, 1)
+            print(f"Epoch: {epoch:4d}, Validation loss: {validation_loss:.4e}")
+
+        writer.add_scalar("Loss/train", training_loss, epoch)
+        if validation_loss is not None:
+            writer.add_scalar("Loss/test", validation_loss, epoch)
+        writer.add_scalar("lr", lr, epoch)
+        writer.add_scalar("edges_per_s", eps_rate, epoch)
+
+        # ---- lr schedule (model.py:279-283) -------------------------------
+        if scheduler is not None:
+            sched_loss = (training_loss
+                          if cfg["scheduler"]["loss"][:2] == "tr"
+                          else validation_loss)
+            lr = scheduler.step(sched_loss)
+            sched_state = scheduler.state_dict()
+
+        # ---- checkpoint ----------------------------------------------------
+        if not epoch % cfg["chk_interval"]:
+            model.save_checkpoint(path, n_out, epoch, opt_state=opt_state,
+                                  lr=lr, scheduler_state=sched_state)
+
+        # ---- curriculum (model.py:289-298) --------------------------------
+        if cfg["add_steps"]["loss"][:2] == "tr":
+            tolerance_loss = training_loss
+        elif cfg["add_steps"]["loss"][:3] == "val":
+            tolerance_loss = validation_loss
+        else:
+            raise NameError("Invalid parameter config['add_steps']['loss'].")
+        if tolerance_loss < cfg["add_steps"]["tolerance"] and n_out < max_n_out:
+            n_out = next(num_steps)
+            opt_state = opt.init(model.params)
+            lr = cfg["lr"]
+            if scheduler is not None:
+                scheduler = ReduceLROnPlateau(lr, cfg["scheduler"]["factor"],
+                                              cfg["scheduler"]["patience"])
+                sched_state = scheduler.state_dict()
+
+    writer.close()
+    print("Finished training")
