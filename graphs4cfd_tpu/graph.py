@@ -93,6 +93,16 @@ class Graph:
         return Graph(data=new)
 
     # ---- convenience -----------------------------------------------------
+    def arrays(self) -> Dict[str, Any]:
+        """The array-valued entries (pytree leaves) as a plain dict —
+        useful for passing through shard_map with per-key specs."""
+        return {k: v for k, v in self.data.items()
+                if _is_array(v) or hasattr(v, "dtype")}
+
+    def statics(self) -> Dict[str, Any]:
+        return {k: v for k, v in self.data.items()
+                if not (_is_array(v) or hasattr(v, "dtype"))}
+
     @property
     def num_nodes(self) -> int:
         return int(self.data["pos"].shape[0])

@@ -182,6 +182,60 @@ def collate(graphs: Sequence[Graph],
     return Graph(data=out)
 
 
+def collate_sharded(graphs: Sequence[Graph], num_shards: int,
+                    node_bucket: int = 64, edge_bucket: int = 128) -> Graph:
+    """Collate into ``num_shards`` equal-shape shard groups with a leading
+    shard axis — the input format of the data-parallel ``shard_map`` step.
+
+    Samples are grouped round-robin; every shard is padded to the maximum
+    bucketed size over shards, so array ``x`` of per-shard shape ``[N, ...]``
+    becomes ``[num_shards, N, ...]`` with **shard-local** indices (no
+    cross-shard edges exist by construction, so a device never needs remote
+    rows — pure DP with zero halo).
+    """
+    assert len(graphs) % num_shards == 0, \
+        f"batch size {len(graphs)} not divisible by {num_shards} shards"
+    groups = [list(graphs[i::num_shards]) for i in range(num_shards)]
+    shards = [collate(g, node_bucket, edge_bucket) for g in groups]
+    # pad every shard to the max padded size per key
+    out = {}
+    keys = shards[0].data.keys()
+    for key in keys:
+        vals = [s.data[key] for s in shards]
+        if not isinstance(vals[0], np.ndarray):
+            assert all(v == vals[0] for v in vals), \
+                f"static key {key} differs across shards"
+            out[key] = vals[0]
+            continue
+        max_rows = max(v.shape[0] for v in vals)
+        padded_vals = []
+        for s, v in zip(shards, vals):
+            extra = max_rows - v.shape[0]
+            if extra:
+                # reuse collate's padding semantics by re-collating would be
+                # costly; replicate the pad rules inline
+                base = re.sub(r"_\d$", "", key)
+                if base == "edge_f2c":
+                    fill = np.full((extra,) + v.shape[1:], -1, dtype=v.dtype)
+                elif base == "up_w":
+                    fill = np.ones((extra,) + v.shape[1:], dtype=v.dtype)
+                elif base in ("senders", "receivers"):
+                    l = _suffix_level(key)
+                    k = (s.data.get("fixed_k") if l == 1
+                         else s.data.get(f"fixed_k_{l}"))
+                    if k is not None:
+                        fill = (np.arange(v.shape[0], max_rows) // k).astype(
+                            v.dtype)
+                    else:
+                        fill = np.zeros((extra,), dtype=v.dtype)
+                else:
+                    fill = np.zeros((extra,) + v.shape[1:], dtype=v.dtype)
+                v = np.concatenate([v, fill], axis=0)
+            padded_vals.append(v)
+        out[key] = np.stack(padded_vals, axis=0)
+    return Graph(data=out)
+
+
 class DataLoader:
     """Minimal epoch iterator: sample → per-sample transforms → collate.
 

@@ -1,0 +1,255 @@
+"""Edge-partitioned graph parallelism — scale ONE giant mesh across chips.
+
+The framework's analogue of sequence/context parallelism (SURVEY §5
+"long-context"): the structural equivalent of sequence length is mesh size
+(|V|, |E|).  Nodes at every level are partitioned into equal contiguous
+blocks (after a spatial sort, so partitions are compact and boundary sets
+small); each device owns one block per level plus the edges whose
+*receiver* it owns (receiver-sorted layout ⇒ a device's edges are one
+contiguous slab, exactly ``k·V_d`` rows on fixed-k levels).
+
+v1 communication pattern (exactness first):
+  * MP layer: ``all_gather`` node features over the ``graph`` axis, gather
+    senders globally, aggregate locally — receivers are always local.
+  * DownMP / pool_edges: partial segment-sums into the full coarse array,
+    ``psum`` over the axis, slice the own block.
+  * UpMP: ``all_gather`` coarse features, per-fine-node work is local.
+
+Partitioned == unpartitioned is an exact invariant (halo exchange is pure
+data movement) — asserted in tests on a virtual 8-device mesh.  A
+halo-only ``ppermute`` exchange (overlapped with local aggregation) is the
+planned optimisation on top of this correctness baseline.
+"""
+from __future__ import annotations
+
+import re
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..graph import Graph
+from ..ops.segment import segment_sum
+from .dp import _graph_specs
+from ..nn.mlp import apply_mlp
+from ..nn.mus_gnn import _node_input
+
+_selu = jax.nn.selu
+
+
+# --------------------------------------------------------------------- host
+def _sort_perm(pos: np.ndarray) -> np.ndarray:
+    """Spatial sort (x-major) so contiguous blocks are compact."""
+    return np.lexsort((pos[:, 1], pos[:, 0])).astype(np.int32)
+
+
+def partition_graph(graph: Graph, num_parts: int) -> Tuple[Graph, dict]:
+    """Partition a collated (single- or multi-level MuS) graph into
+    ``num_parts`` blocks with a leading shard axis.
+
+    Returns the sharded graph and an info dict with the level-1 node
+    permutation (to un-permute results).  Node counts at every level are
+    padded to a multiple of ``num_parts`` by the caller's collate buckets;
+    this function additionally requires divisibility and asserts it.
+    """
+    g = graph.numpy()
+    levels = [1] + sorted(int(m.group(1)) for k in g.data
+                          for m in [re.match(r"pos_(\d)$", k)] if m)
+    perms = {}
+    # ---- permute nodes at each level by spatial sort ----------------------
+    for l in levels:
+        suf = "" if l == 1 else f"_{l}"
+        pos = g.data[f"pos{suf}"]
+        n = pos.shape[0]
+        assert n % num_parts == 0, \
+            f"level-{l} node count {n} not divisible by {num_parts}"
+        perm = _sort_perm(pos)
+        perms[l] = perm
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n, dtype=np.int32)
+        # node-space arrays permute rows; index arrays into this space remap
+        for key in list(g.data):
+            base = re.sub(r"_\d$", "", key)
+            kl = int(key[-1]) if re.search(r"_\d$", key) else 1
+            if base in ("pos", "node_mask") and kl == l:
+                g.data[key] = g.data[key][perm]
+            elif l == 1 and key in ("field", "target", "omega", "loc",
+                                    "glob", "bound", "batch"):
+                g.data[key] = g.data[key][perm]
+            elif base in ("parent", "e_rel") and kl == l + 1:
+                g.data[key] = g.data[key][perm]       # fine-node rows
+            elif base in ("senders", "receivers") and kl == l:
+                g.data[key] = inv[g.data[key]]        # values in this space
+            elif base == "parent" and kl == l:
+                g.data[key] = inv[g.data[key]]
+        # re-sort edges of level l by (new) receiver to keep the canonical
+        # receiver-sorted contiguous-slab property
+        s_key, r_key = f"senders{suf}", f"receivers{suf}"
+        order = np.argsort(g.data[r_key], kind="stable").astype(np.int32)
+        eperm_inv = np.empty_like(order)
+        eperm_inv[order] = np.arange(len(order), dtype=np.int32)
+        for key in list(g.data):
+            base = re.sub(r"_\d$", "", key)
+            kl = int(key[-1]) if re.search(r"_\d$", key) else 1
+            if base in ("senders", "receivers", "edge_attr", "edge_mask") \
+                    and kl == l:
+                g.data[key] = g.data[key][order]
+            elif base == "edge_f2c" and kl == l + 1:
+                g.data[key] = g.data[key][order]      # fine-edge rows
+            elif base == "edge_f2c" and kl == l:
+                v = g.data[key]
+                g.data[key] = np.where(v >= 0, eperm_inv[v], -1)
+    # ---- split into blocks with a leading shard axis ----------------------
+    out = {}
+    for key, v in g.data.items():
+        if not isinstance(v, np.ndarray):
+            out[key] = v
+            continue
+        out[key] = v.reshape((num_parts, v.shape[0] // num_parts)
+                             + v.shape[1:])
+    out["gp_num_parts"] = num_parts
+    return Graph(data=out), {"perms": perms}
+
+
+# ------------------------------------------------------------------- device
+def _gather_nodes(v_local: jnp.ndarray, idx_global: jnp.ndarray,
+                  axis: str) -> jnp.ndarray:
+    v_full = jax.lax.all_gather(v_local, axis, tiled=True)
+    return v_full[idx_global]
+
+
+def _local_slice(full: jnp.ndarray, axis: str, block: int) -> jnp.ndarray:
+    d = jax.lax.axis_index(axis)
+    return jax.lax.dynamic_slice_in_dim(full, d * block, block, axis=0)
+
+
+def gp_mus_apply(params: dict, graph: Graph, plan, num_fields: int,
+                 axis: str = "graph",
+                 compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Edge-partitioned MuS-GNN forward (per-device body under shard_map).
+
+    Mirrors ``nn.mus_gnn.mus_apply`` exactly; every cross-partition access
+    goes through all_gather/psum so the result equals the single-device
+    forward bit-for-bit (up to reduction order).
+    """
+    cd = compute_dtype
+    D = graph.data["gp_num_parts"]
+    v = _selu(apply_mlp(params["node_encoder"], _node_input(graph),
+                        compute_dtype=cd))
+    e = _selu(apply_mlp(params["edge_encoder"], graph.edge_attr,
+                        compute_dtype=cd))
+    level = 1
+    skips = []
+    fixed_k = graph.get("fixed_k")
+
+    def suf(l):
+        return "" if l == 1 else f"_{l}"
+
+    def mp(name, v, e, l):
+        s = suf(l)
+        senders = graph.data[f"senders{s}"]      # global ids
+        receivers_g = graph.data[f"receivers{s}"]
+        n_local = v.shape[0]
+        v_full = jax.lax.all_gather(v, axis, tiled=True)
+        if l == 1 and fixed_k is not None:
+            # fixed-k slabs align with node blocks: receivers are local
+            recv_local = receivers_g - jax.lax.axis_index(axis) * n_local
+            e_in = jnp.concatenate([e, v_full[senders], v[recv_local]],
+                                   axis=-1)
+            e_new = apply_mlp(params[name]["edge_mlp"], e_in,
+                              compute_dtype=cd)
+            aggr = e_new.reshape(n_local, fixed_k, -1).mean(axis=1)
+        else:
+            # variable-degree levels: even edge slabs cross node-block
+            # boundaries — aggregate globally, psum, slice the own block
+            e_in = jnp.concatenate([e, v_full[senders], v_full[receivers_g]],
+                                   axis=-1)
+            e_new = apply_mlp(params[name]["edge_mlp"], e_in,
+                              compute_dtype=cd)
+            mask = graph.data[f"edge_mask{s}"]
+            n_total = n_local * D
+            num = segment_sum(e_new, receivers_g, n_total, mask=mask)
+            cnt = segment_sum(jnp.ones(e_new.shape[:1], e_new.dtype),
+                              receivers_g, n_total, mask=mask)
+            num = jax.lax.psum(num, axis)
+            cnt = jax.lax.psum(cnt, axis)
+            aggr = (_local_slice(num, axis, n_local)
+                    / jnp.maximum(_local_slice(cnt, axis, n_local),
+                                  1)[:, None])
+        v_new = apply_mlp(params[name]["node_mlp"],
+                          jnp.concatenate([aggr, v], axis=-1),
+                          compute_dtype=cd)
+        return v_new, e_new
+
+    for op in plan:
+        if op[0] == "mp":
+            v, e = mp(op[1], v, e, level)
+            v, e = _selu(v), _selu(e)
+        elif op[0] == "down":
+            _, name, tgt = op
+            skips.append((v, e))
+            node_mask = (graph.node_mask if level == 1
+                         else graph.data[f"node_mask_{level}"])
+            parent_g = graph.data[f"parent_{tgt}"]           # global coarse
+            nc_local = graph.data[f"node_mask_{tgt}"].shape[0]
+            nc_total = nc_local * D
+            x = apply_mlp(params[name],
+                          jnp.concatenate([graph.data[f"e_rel_{tgt}"], v],
+                                          axis=-1), compute_dtype=cd)
+            num = segment_sum(x, parent_g, nc_total, mask=node_mask)
+            cnt = segment_sum(jnp.ones(x.shape[:1], x.dtype), parent_g,
+                              nc_total, mask=node_mask)
+            num = jax.lax.psum(num, axis)
+            cnt = jax.lax.psum(cnt, axis)
+            v = jnp.tanh(_local_slice(num, axis, nc_local)
+                         / jnp.maximum(_local_slice(cnt, axis, nc_local),
+                                       1)[:, None])
+            # pool edges: partial means into the full coarse edge array
+            f2c_g = graph.data[f"edge_f2c_{tgt}"]
+            ec_local = graph.data[f"senders_{tgt}"].shape[0]
+            ec_total = ec_local * D
+            emask = f2c_g >= 0
+            enum = segment_sum(e, f2c_g, ec_total, mask=emask)
+            ecnt = segment_sum(jnp.ones(e.shape[:1], e.dtype), f2c_g,
+                               ec_total, mask=emask)
+            enum = jax.lax.psum(enum, axis)
+            ecnt = jax.lax.psum(ecnt, axis)
+            e = (_local_slice(enum, axis, ec_local)
+                 / jnp.maximum(_local_slice(ecnt, axis, ec_local), 1)[:, None])
+            level = tgt
+        elif op[0] == "up":
+            _, name, src = op
+            v_skip, e_skip = skips.pop()
+            parent_g = graph.data[f"parent_{src}"]
+            coarse_full = jax.lax.all_gather(v, axis, tiled=True)
+            x = jnp.concatenate([-graph.data[f"e_rel_{src}"],
+                                 coarse_full[parent_g], v_skip], axis=-1)
+            v = jnp.tanh(apply_mlp(params[name], x, compute_dtype=cd))
+            e = e_skip
+            level = src - 1
+    out = apply_mlp(params["decoder"], v, compute_dtype=cd)
+    return graph.field[:, -num_fields:] + out
+
+
+def make_gp_forward(model, mesh: Mesh, axis: str = "graph"):
+    """Jitted sharded forward over the mesh's ``graph`` axis."""
+
+    def per_device(params, arrays: dict, *, statics: dict):
+        arrays = {k: v[0] for k, v in arrays.items()}
+        graph = Graph(data={**arrays, **statics})
+        out = gp_mus_apply(params, graph, model.plan, model.num_fields,
+                           axis=axis, compute_dtype=model.compute_dtype)
+        return out[None]
+
+    def run(params, graph: Graph):
+        arrays, statics = graph.arrays(), graph.statics()
+        fn = shard_map(partial(per_device, statics=statics), mesh=mesh,
+                       in_specs=(P(), _graph_specs(arrays, axis)),
+                       out_specs=P(axis), check_vma=False)
+        return fn(params, arrays)
+
+    return jax.jit(run)
