@@ -67,19 +67,20 @@ def main():
     log("compiling...")
     t0 = time.time()
     params, opt_state, loss, gn = step(params, opt_state, g, lr, clip)
-    jax.block_until_ready(loss)
+    _ = float(loss)  # host transfer = true sync (block_until_ready on the
+    # remote-TPU tunnel returns before execution completes)
     log(f"first step (compile): {time.time() - t0:.1f}s loss={float(loss):.4e}")
 
     # warmup
     for _ in range(2):
         params, opt_state, loss, gn = step(params, opt_state, g, lr, clip)
-    jax.block_until_ready(loss)
+    _ = float(loss)
 
     iters = 20
     t0 = time.time()
     for _ in range(iters):
         params, opt_state, loss, gn = step(params, opt_state, g, lr, clip)
-    jax.block_until_ready(loss)
+    _ = float(loss)  # sync the dependent chain
     dt = (time.time() - t0) / iters
 
     valid_edges = int(np.asarray(graph.edge_mask).sum())

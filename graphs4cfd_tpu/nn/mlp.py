@@ -48,19 +48,51 @@ def apply_mlp(params: dict, x: jnp.ndarray, *,
     """Forward pass.  Matmuls run in ``compute_dtype`` (bf16 on TPU puts
     them on the MXU); activations, LayerNorm statistics and the output stay
     f32 for parity with the reference."""
+    return apply_mlp_tail(params, x, start=0, compute_dtype=compute_dtype)
+
+
+def apply_mlp_tail(params: dict, h: jnp.ndarray, *, start: int,
+                   compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Apply the MLP from layer ``start`` onward.
+
+    ``start=0`` is the full MLP; ``start=1`` expects ``h`` to be the
+    *pre-activation* output of the first layer (used by blocks that fuse
+    the first-layer matmul with gathers — see ``nn.blocks.gn_block``).
+    """
     layers = params["layers"]
     n = len(layers)
-    h = x
-    for i, lyr in enumerate(layers):
-        w = lyr["w"].astype(compute_dtype)
-        h = (h.astype(compute_dtype) @ w).astype(jnp.float32) + lyr["b"]
+    cd = compute_dtype
+    if h.ndim == 2 and n - start >= 1:
+        from ..config import pallas_enabled
+        if pallas_enabled():
+            from ..ops.pallas_mlp import fused_mlp, supports
+            if supports({"layers": layers[start:], **({"ln": params["ln"]}
+                                                      if "ln" in params else {})},
+                        h.shape[0], h.shape[1]):
+                interpret = jax.default_backend() != "tpu"
+                return fused_mlp(params, h, start=start, compute_dtype=cd,
+                                 interpret=interpret)
+    full_low = cd != jnp.float32
+    # f32 policy: matmuls in cd, activations f32 (bit-parity with the
+    # reference).  bf16 policy (TrainConfig.mixed_precision — the TPU
+    # analogue of the reference's AMP, model.py:202-209): activations stay
+    # bf16 end-to-end, halving HBM traffic on the [E, 128] tensors that
+    # dominate this workload; LayerNorm statistics still accumulate in f32.
+    act = cd if full_low else jnp.float32
+    if start > 0:
+        h = jax.nn.selu(h.astype(act)) if start < n else h.astype(act)
+    for i in range(start, n):
+        lyr = layers[i]
+        w = lyr["w"].astype(cd)
+        h = (h.astype(cd) @ w).astype(act) + lyr["b"].astype(act)
         if i < n - 1:
             h = jax.nn.selu(h)
     if "ln" in params:
-        mean = h.mean(axis=-1, keepdims=True)
-        var = ((h - mean) ** 2).mean(axis=-1, keepdims=True)
-        h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
-        h = h * params["ln"]["scale"] + params["ln"]["bias"]
+        hf = h.astype(jnp.float32)
+        mean = hf.mean(axis=-1, keepdims=True)
+        var = ((hf - mean) ** 2).mean(axis=-1, keepdims=True)
+        hf = (hf - mean) * jax.lax.rsqrt(var + 1e-5)
+        h = (hf * params["ln"]["scale"] + params["ln"]["bias"]).astype(act)
     return h
 
 
