@@ -85,17 +85,33 @@ class GNN:
 
     #: set by subclasses — family tag used by the generic engines
     family: str = "mus"
+    #: name → bundled checkpoint relative path (the reference's pretrained
+    #: registry, ``mus_gnn.py:43-48`` etc.); populated by subclasses.
+    PRETRAINED: dict = {}
 
     def __init__(self,
                  arch: Optional[dict] = None,
                  weights: Optional[str] = None,
                  checkpoint: Optional[str] = None,
+                 model: Optional[str] = None,
                  seed: int = 0,
                  compute_dtype=jnp.float32):
         self.compute_dtype = compute_dtype
         self.params = None
         self.arch = None
         self.num_fields = None
+        if model is not None:
+            if model not in self.PRETRAINED:
+                raise ValueError(f"Model {model} not recognized. Available: "
+                                 f"{sorted(self.PRETRAINED)}")
+            path = bundled_checkpoint_path(self.PRETRAINED[model])
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"Pretrained checkpoint for {model!r} not bundled at "
+                    f"{path}. Convert a reference .chk with "
+                    "graphs4cfd_tpu.training.checkpoint."
+                    "convert_reference_checkpoint and place it there.")
+            checkpoint = path
         if arch is not None and checkpoint is None:
             self.load_arch(arch, seed=seed)
             if weights is not None:

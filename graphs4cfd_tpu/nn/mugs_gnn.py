@@ -95,12 +95,14 @@ class MuGSGNN(GNN):
 
 # ---- reference class-name aliases (mugs_gnn.py:11,135,297) ---------------
 class NsTwoGuillardScaleGNN(MuGSGNN):
-    pass
+    PRETRAINED = {"2GS-GNN-NsCircle-v1": "NsMuGSGNN/NsTwoGuillardScaleGNN.chk"}
 
 
 class NsThreeGuillardScaleGNN(MuGSGNN):
-    pass
+    PRETRAINED = {"3GS-GNN-NsCircle-v1":
+                  "NsMuGSGNN/NsThreeGuillardScaleGNN.chk"}
 
 
 class NsFourGuillardScaleGNN(MuGSGNN):
-    pass
+    PRETRAINED = {"4GS-GNN-NsCircle-v1":
+                  "NsMuGSGNN/NsFourGuillardScaleGNN.chk"}

@@ -131,32 +131,32 @@ class MuSGNN(GNN):
 # ---- reference class-name aliases (API parity; mus_gnn.py:11,100,221,376,
 # 566,639,744,883) ----------------------------------------------------------
 class NsOneScaleGNN(MuSGNN):
-    pass
+    PRETRAINED = {"1S-GNN-NsCircle-v1": "NsMuSGNN/NsOneScaleGNN.chk"}
 
 
 class NsTwoScaleGNN(MuSGNN):
-    pass
+    PRETRAINED = {"2S-GNN-NsCircle-v1": "NsMuSGNN/NsTwoScaleGNN.chk"}
 
 
 class NsThreeScaleGNN(MuSGNN):
-    pass
+    PRETRAINED = {"3S-GNN-NsCircle-v1": "NsMuSGNN/NsThreeScaleGNN.chk"}
 
 
 class NsFourScaleGNN(MuSGNN):
-    pass
+    PRETRAINED = {"4S-GNN-NsCircle-v1": "NsMuSGNN/NsFourScaleGNN.chk"}
 
 
 class AdvOneScaleGNN(MuSGNN):
-    pass
+    PRETRAINED = {"1S-GNN-UniformAdv-v1": "AdvMuSGNN/AdvOneScaleGNN.chk"}
 
 
 class AdvTwoScaleGNN(MuSGNN):
-    pass
+    PRETRAINED = {"2S-GNN-UniformAdv-v1": "AdvMuSGNN/AdvTwoScaleGNN.chk"}
 
 
 class AdvThreeScaleGNN(MuSGNN):
-    pass
+    PRETRAINED = {"3S-GNN-UniformAdv-v1": "AdvMuSGNN/AdvThreeScaleGNN.chk"}
 
 
 class AdvFourScaleGNN(MuSGNN):
-    pass
+    PRETRAINED = {"4S-GNN-UniformAdv-v1": "AdvMuSGNN/AdvFourScaleGNN.chk"}

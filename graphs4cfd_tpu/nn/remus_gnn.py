@@ -130,7 +130,8 @@ class REMuSGNN(GNN):
 
 
 class NsRotEquiThreeScaleGNN(REMuSGNN):
-    pass
+    PRETRAINED = {"RE3S-GNN-NsEllipse-v1":
+                  "NsREMuSGNN/NsRotEquiThreeScaleGNN.chk"}
 
 
 # Reference spelling (remus_gnn.py:11) kept as an alias.

@@ -57,6 +57,25 @@ def load_weights(file_name: str, like=None):
     return jax.tree_util.tree_map(jnp.asarray, weights)
 
 
+def convert_reference_checkpoint(src_chk: str, dst_chk: str) -> dict:
+    """Convert a reference PyTorch ``.chk`` into this framework's format.
+
+    Reads the reference checkpoint schema
+    (``/root/reference/graphs4cfd/nn/model.py:338-345``: arch + weights
+    state_dict + optimiser + n_out + lr + epoch), converts the state_dict
+    into the parameter pytree and writes a framework checkpoint.  Optimiser
+    state is NOT carried over (Adam moments transfer poorly across
+    frameworks); resume re-initialises it.
+    """
+    import torch
+    state = torch.load(src_chk, map_location="cpu", weights_only=False)
+    weights = import_torch_state_dict(state["weights"])
+    save_checkpoint(dst_chk, arch=state["arch"], weights=weights,
+                    n_out=state.get("n_out", 1), lr=state.get("lr"),
+                    epoch=state.get("epoch", 0))
+    return {"arch": state["arch"], "weights": weights}
+
+
 def import_torch_state_dict(state_dict: dict) -> dict:
     """Convert a reference ``state_dict`` into this framework's pytree.
 
