@@ -72,6 +72,10 @@ def _rules(key: str):
         return ("edge", l), ("edge", l)
     if base == "xangle_src":
         return ("edge", l), ("edge", l - 1)
+    if base == "sender_perm":
+        return ("edge", l), ("edge", l)
+    if base == "sender_sorted":
+        return ("edge", l), ("node", l)
     raise KeyError(f"No collate rule for graph key {key!r}")
 
 
@@ -146,6 +150,15 @@ def collate(graphs: Sequence[Graph],
             if base == "edge_f2c":
                 fill = np.full((pad_rows,) + merged.shape[1:], -1,
                                dtype=merged.dtype)
+            elif base == "sender_perm":
+                # identity on pad rows (their cotangents are zero)
+                fill = np.arange(merged.shape[0], total_padded,
+                                 dtype=merged.dtype)
+            elif base == "sender_sorted":
+                # keep global sortedness: pads point at the last pad node
+                fill = np.full((pad_rows,), padded[("node",
+                                                   count_space[1])] - 1,
+                               dtype=merged.dtype)
             elif base == "up_w":
                 fill = np.ones((pad_rows,) + merged.shape[1:],
                                dtype=merged.dtype)
@@ -217,6 +230,12 @@ def collate_sharded(graphs: Sequence[Graph], num_shards: int,
                 base = re.sub(r"_\d$", "", key)
                 if base == "edge_f2c":
                     fill = np.full((extra,) + v.shape[1:], -1, dtype=v.dtype)
+                elif base == "sender_perm":
+                    fill = np.arange(v.shape[0], max_rows, dtype=v.dtype)
+                elif base == "sender_sorted":
+                    nk = "node_mask"
+                    fill = np.full((extra,), s.data[nk].shape[0] - 1,
+                                   dtype=v.dtype)
                 elif base == "up_w":
                     fill = np.ones((extra,) + v.shape[1:], dtype=v.dtype)
                 elif base in ("senders", "receivers"):

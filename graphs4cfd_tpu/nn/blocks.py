@@ -33,7 +33,8 @@ from .mlp import apply_mlp, apply_mlp_tail
 
 
 def _edge_first_layer(edge_mlp: dict, e, v, senders, receivers,
-                      compute_dtype, fixed_k: Optional[int] = None):
+                      compute_dtype, fixed_k: Optional[int] = None,
+                      sender_sort=None):
     """First edge-MLP layer with the gather fused *after* the matmul.
 
     ``W1 @ concat(e, v[s], v[r])`` ≡ ``e@We + (v@Ws)[s] + (v@Wr)[r]`` with
@@ -54,7 +55,12 @@ def _edge_first_layer(edge_mlp: dict, e, v, senders, receivers,
     we, ws, wr = w1[:fe], w1[fe:fe + fv], w1[fe + fv:]
     vc = v.astype(cd)
     h = (e.astype(cd) @ we).astype(act)
-    h = h + (vc @ ws).astype(act)[senders]
+    vs = (vc @ ws).astype(act)
+    if sender_sort is not None:
+        from ..ops.segment import gather_sorted_bwd
+        h = h + gather_sorted_bwd(vs, senders, *sender_sort)
+    else:
+        h = h + vs[senders]
     vr = (vc @ wr).astype(act)
     if fixed_k is not None:
         V, H = vr.shape
@@ -74,6 +80,7 @@ def gn_block(params: dict,
              fixed_k: Optional[int] = None,
              aggr: str = "mean",
              edge_mask: Optional[jnp.ndarray] = None,
+             sender_sort=None,
              compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One message-passing step: edge update → aggregate → node update.
 
@@ -83,7 +90,8 @@ def gn_block(params: dict,
     """
     num_nodes = v.shape[0]
     h = _edge_first_layer(params["edge_mlp"], e, v, senders, receivers,
-                          compute_dtype, fixed_k=fixed_k)
+                          compute_dtype, fixed_k=fixed_k,
+                          sender_sort=sender_sort)
     e_new = apply_mlp_tail(params["edge_mlp"], h, start=1,
                            compute_dtype=compute_dtype)
     if fixed_k is not None:

@@ -72,12 +72,16 @@ def mus_apply(params: dict, graph: Graph, plan, num_fields: int,
     level = 1
     skips = []
     fixed_k = graph.get("fixed_k")
+    sender_sort = (
+        (graph.data["sender_perm"], graph.data["sender_sorted"])
+        if graph.has("sender_perm") else None)
     for op in plan:
         if op[0] == "mp":
             _, name = op
             if level == 1:
                 v, e = gn_block(params[name], v, e, graph.senders,
                                 graph.receivers, fixed_k=fixed_k,
+                                sender_sort=sender_sort,
                                 compute_dtype=cd)
             else:
                 v, e = gn_block(params[name], v, e,

@@ -98,3 +98,34 @@ def aggregate_fixed_k(edge_feats: jnp.ndarray,
 def gather(node_feats: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
     """Row gather — the SDDMM-side memory op feeding edge MLPs."""
     return jnp.take(node_feats, index, axis=0)
+
+
+@jax.custom_vjp
+def gather_sorted_bwd(node_feats: jnp.ndarray, senders: jnp.ndarray,
+                      sender_perm: jnp.ndarray,
+                      sender_sorted: jnp.ndarray) -> jnp.ndarray:
+    """``node_feats[senders]`` whose backward uses a host-precomputed
+    sender-sorted permutation: the transpose becomes permute-gather +
+    *sorted* segment-sum instead of XLA's scatter-add (≈2× faster on TPU
+    for the [E≈240k, 128] shapes of this workload).
+
+    ``sender_perm`` sorts edges by sender; ``sender_sorted =
+    senders[sender_perm]``.  Built by the collate pipeline.
+    """
+    return node_feats[senders]
+
+
+def _gsb_fwd(node_feats, senders, sender_perm, sender_sorted):
+    return node_feats[senders], (node_feats.shape[0],
+                                 sender_perm, sender_sorted)
+
+
+def _gsb_bwd(res, ct):
+    num_nodes, sender_perm, sender_sorted = res
+    d = jax.ops.segment_sum(ct[sender_perm], sender_sorted,
+                            num_segments=num_nodes,
+                            indices_are_sorted=True)
+    return d, None, None, None
+
+
+gather_sorted_bwd.defvjp(_gsb_fwd, _gsb_bwd)

@@ -103,6 +103,42 @@ def partition_graph(graph: Graph, num_parts: int) -> Tuple[Graph, dict]:
             elif base == "edge_f2c" and kl == l:
                 v = g.data[key]
                 g.data[key] = np.where(v >= 0, eperm_inv[v], -1)
+    # ---- level-1 halo-exchange tables -------------------------------------
+    # For each device d: the remote sender rows its edges touch, grouped by
+    # owner o, become per-pair send lists (padded to the max pair size).
+    # Device-side, one all_to_all moves exactly the boundary rows instead of
+    # an all_gather of every node feature (the ring/halo-exchange analogue
+    # of sequence parallelism — SURVEY §5 long-context).
+    n1 = g.data["pos"].shape[0]
+    block = n1 // num_parts
+    senders = g.data["senders"]
+    e_per = senders.shape[0] // num_parts
+    send_lists = [[[] for _ in range(num_parts)] for _ in range(num_parts)]
+    for d in range(num_parts):
+        es = senders[d * e_per:(d + 1) * e_per]
+        remote = np.unique(es[(es < d * block) | (es >= (d + 1) * block)])
+        for s in remote:
+            send_lists[s // block][d].append(int(s))
+    pmax = max(1, max(len(send_lists[o][d]) for o in range(num_parts)
+                      for d in range(num_parts)))
+    halo_send = np.zeros((num_parts, num_parts, pmax), np.int32)
+    # map: global sender id -> local-table index on device d
+    edge_lidx = np.zeros((num_parts, e_per), np.int32)
+    for o in range(num_parts):
+        for d in range(num_parts):
+            rows = send_lists[o][d]
+            halo_send[o, d, :len(rows)] = np.asarray(rows, np.int32) \
+                - o * block  # owner-local row ids
+    for d in range(num_parts):
+        lut = {}
+        for o in range(num_parts):
+            for p, s in enumerate(send_lists[o][d]):
+                lut[s] = block + o * pmax + p
+        es = senders[d * e_per:(d + 1) * e_per]
+        local = (es >= d * block) & (es < (d + 1) * block)
+        edge_lidx[d] = np.where(local, es - d * block,
+                                np.asarray([lut.get(int(s), 0)
+                                            for s in es], np.int32))
     # ---- split into blocks with a leading shard axis ----------------------
     out = {}
     for key, v in g.data.items():
@@ -111,8 +147,10 @@ def partition_graph(graph: Graph, num_parts: int) -> Tuple[Graph, dict]:
             continue
         out[key] = v.reshape((num_parts, v.shape[0] // num_parts)
                              + v.shape[1:])
+    out["halo_send"] = halo_send        # [D(shard), D, Pmax]
+    out["edge_lidx"] = edge_lidx        # [D(shard), E_d]
     out["gp_num_parts"] = num_parts
-    return Graph(data=out), {"perms": perms}
+    return Graph(data=out), {"perms": perms, "pmax": pmax}
 
 
 # ------------------------------------------------------------------- device
@@ -149,14 +187,33 @@ def gp_mus_apply(params: dict, graph: Graph, plan, num_fields: int,
     def suf(l):
         return "" if l == 1 else f"_{l}"
 
+    def halo_gather(x_local):
+        """Exchange only boundary rows: per-pair send lists + one
+        all_to_all, then gather through the precomputed local table."""
+        halo_send = graph.data["halo_send"]          # [D, Pmax]
+        edge_lidx = graph.data["edge_lidx"]          # [E_d]
+        pmax = halo_send.shape[-1]
+        send_buf = x_local[halo_send.reshape(-1)]    # [D*Pmax, F]
+        recv = jax.lax.all_to_all(send_buf, axis, 0, 0, tiled=True)
+        table = jnp.concatenate([x_local, recv], axis=0)
+        return table[edge_lidx]
+
     def mp(name, v, e, l):
         s = suf(l)
         senders = graph.data[f"senders{s}"]      # global ids
         receivers_g = graph.data[f"receivers{s}"]
         n_local = v.shape[0]
-        v_full = jax.lax.all_gather(v, axis, tiled=True)
-        if l == 1 and fixed_k is not None:
-            # fixed-k slabs align with node blocks: receivers are local
+        if l == 1 and fixed_k is not None and graph.has("halo_send"):
+            # fixed-k slabs align with node blocks: receivers are local;
+            # sender features cross partitions via halo exchange only
+            recv_local = receivers_g - jax.lax.axis_index(axis) * n_local
+            e_in = jnp.concatenate([e, halo_gather(v), v[recv_local]],
+                                   axis=-1)
+            e_new = apply_mlp(params[name]["edge_mlp"], e_in,
+                              compute_dtype=cd)
+            aggr = e_new.reshape(n_local, fixed_k, -1).mean(axis=1)
+        elif l == 1 and fixed_k is not None:
+            v_full = jax.lax.all_gather(v, axis, tiled=True)
             recv_local = receivers_g - jax.lax.axis_index(axis) * n_local
             e_in = jnp.concatenate([e, v_full[senders], v[recv_local]],
                                    axis=-1)
@@ -166,6 +223,7 @@ def gp_mus_apply(params: dict, graph: Graph, plan, num_fields: int,
         else:
             # variable-degree levels: even edge slabs cross node-block
             # boundaries — aggregate globally, psum, slice the own block
+            v_full = jax.lax.all_gather(v, axis, tiled=True)
             e_in = jnp.concatenate([e, v_full[senders], v_full[receivers_g]],
                                    axis=-1)
             e_new = apply_mlp(params[name]["edge_mlp"], e_in,

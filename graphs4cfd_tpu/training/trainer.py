@@ -209,6 +209,17 @@ def fit(model, train_config: TrainConfig, train_loader,
             num_iter += 1
         training_loss /= max(num_iter, 1)
         gradients_norm /= max(num_iter, 1)
+        # Failure detection: a non-finite loss means the run is lost — save
+        # a post-mortem checkpoint and stop instead of burning epochs.
+        # (Enable jax.config.update('jax_debug_nans', True) to localise.)
+        if not (training_loss == training_loss
+                and abs(training_loss) != float("inf")):
+            post = path + f".nan_epoch{epoch}"
+            print(f"Non-finite training loss at epoch {epoch}; saving "
+                  f"post-mortem checkpoint to {post} and stopping.")
+            model.save_checkpoint(post, n_out, epoch, opt_state=opt_state,
+                                  lr=lr, scheduler_state=sched_state)
+            break
         dt = time.time() - t0
         eps_rate = edges / dt if dt > 0 else 0.0
         print(f"Epoch: {epoch:4d}, Training   loss: {training_loss:.4e}, "

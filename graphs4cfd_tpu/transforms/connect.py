@@ -26,9 +26,15 @@ class ConnectKNN:
         self.period = period
 
     def __call__(self, graph: Graph) -> Graph:
+        import numpy as np
         s, r, attr = connect_knn(graph.pos, self.k, period=self.period)
         graph.senders = s
         graph.receivers = r
         graph.edge_attr = attr
         graph.fixed_k = self.k
+        # sender-sorted permutation: lets gather backwards run as a sorted
+        # segment-sum instead of a scatter-add (ops.segment.gather_sorted_bwd)
+        perm = np.argsort(s, kind="stable").astype(np.int32)
+        graph.sender_perm = perm
+        graph.sender_sorted = s[perm]
         return graph

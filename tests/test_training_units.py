@@ -1,0 +1,105 @@
+"""Unit tests for the training runtime pieces: plateau scheduler (torch
+semantics), checkpoint round-trip, shift_and_replace, solve vs manual
+rollout, and a golden rollout regression fixture.
+"""
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import graphs4cfd_tpu as gfd
+from graphs4cfd_tpu.training.schedule import ReduceLROnPlateau
+from graphs4cfd_tpu.training.checkpoint import (save_checkpoint,
+                                                load_checkpoint)
+from graphs4cfd_tpu.loader import collate
+
+from test_models import make_cloud, mus_arch, build_mus_batch
+
+
+def test_reduce_lr_on_plateau_matches_torch():
+    """Same decision sequence as torch.optim.lr_scheduler.ReduceLROnPlateau
+    (factor=0.5, patience=2, threshold=1e-4 rel, eps=0)."""
+    import torch
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    ref = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, factor=0.5, patience=2, eps=0.0)
+    mine = ReduceLROnPlateau(1.0, factor=0.5, patience=2)
+    metrics = [1.0, 0.9, 0.9, 0.9, 0.9, 0.5, 0.50001, 0.50001, 0.50001,
+               0.2, 0.3, 0.3, 0.3, 0.3]
+    for m in metrics:
+        ref.step(m)
+        lr_mine = mine.step(m)
+        assert abs(opt.param_groups[0]["lr"] - lr_mine) < 1e-12, \
+            (m, opt.param_groups[0]["lr"], lr_mine)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = gfd.nn.MuSGNN(arch=mus_arch(5, 1), seed=2)
+    path = str(tmp_path / "m.chk")
+    sched = {"lr": 1e-4, "best": 0.5, "num_bad_epochs": 1, "factor": 0.5,
+             "patience": 5, "threshold": 1e-4, "eps": 0.0}
+    save_checkpoint(path, arch=model.arch, weights=model.params,
+                    n_out=3, lr=1e-4, epoch=7, scheduler_state=sched)
+    state = load_checkpoint(path)
+    assert state["n_out"] == 3 and state["epoch"] == 7
+    assert state["scheduler"] == sched
+    model2 = gfd.nn.MuSGNN(checkpoint=path)
+    for a, b in zip(jax.tree_util.tree_leaves(model.params),
+                    jax.tree_util.tree_leaves(model2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert model2.arch == model.arch
+
+
+def test_shift_and_replace():
+    model = gfd.nn.MuSGNN(arch=mus_arch(5, 2), seed=0)
+    assert model.num_fields == 2
+    x = jnp.arange(12.0).reshape(2, 6)   # window of 3 frames x 2 fields
+    y = jnp.full((2, 2), -1.0)
+    out = np.asarray(model.shift_and_replace(x, y))
+    np.testing.assert_array_equal(out[:, :4], np.asarray(x)[:, 2:])
+    np.testing.assert_array_equal(out[:, 4:], -1.0)
+
+
+def test_solve_equals_manual_rollout():
+    model = gfd.nn.MuSGNN(arch=mus_arch(5, 1), seed=4)
+    batch = build_mus_batch(np.random.default_rng(3), [60], pad=True)
+    g = batch.to_device()
+    got = np.asarray(model.solve(g, n_out=4))
+    # manual python rollout (reference solve semantics, model.py:316-320)
+    field = g.field
+    outs = []
+    for t in range(4):
+        pred = model.apply(model.params, g.replace(field=field))
+        outs.append(np.asarray(pred))
+        field = model.shift_and_replace(field, pred)
+    manual = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, manual, rtol=1e-5, atol=1e-5)
+
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "fixtures",
+                      "rollout_golden.pkl")
+
+
+def _golden_rollout():
+    """Deterministic tiny 2-scale rollout (seeded params + graph)."""
+    model = gfd.nn.MuSGNN(arch=mus_arch(5, 1), seed=123)
+    batch = build_mus_batch(np.random.default_rng(321), [64], pad=True)
+    out = np.asarray(model.solve(batch.to_device(), n_out=6))
+    return out[np.asarray(batch.node_mask)]
+
+
+def test_rollout_regression_golden():
+    """Guards numerical behaviour across refactors (SURVEY §4 item 5).
+    Regenerate the fixture intentionally with
+    ``python -m tests.regen_golden`` when semantics change on purpose."""
+    out = _golden_rollout()
+    if not os.path.exists(GOLDEN):
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        with open(GOLDEN, "wb") as f:
+            pickle.dump(out, f)
+    with open(GOLDEN, "rb") as f:
+        ref = pickle.load(f)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
