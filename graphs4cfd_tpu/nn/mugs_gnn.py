@@ -44,7 +44,8 @@ def build_mugs_plan(arch: dict) -> List[Tuple]:
 
 
 def mugs_apply(params: dict, graph: Graph, plan, num_fields: int,
-               compute_dtype=jnp.float32) -> jnp.ndarray:
+               compute_dtype=jnp.float32,
+               scan_layers: bool = False) -> jnp.ndarray:
     cd = compute_dtype
     from .mus_gnn import _node_input
     v = _selu(apply_mlp(params["node_encoder"], _node_input(graph),
@@ -59,7 +60,46 @@ def mugs_apply(params: dict, graph: Graph, plan, num_fields: int,
                                compute_dtype=cd))
     level = 1
     skips = {}
+
+    def run_group(names, v, e_l, lvl):
+        """Fold identical-shape consecutive layers into one lax.scan
+        (compile-time optimisation; numerics unchanged)."""
+        suffix = "" if lvl == 1 else f"_{lvl}"
+        fixed_k = (graph.get("fixed_k") if lvl == 1
+                   else graph.get(f"fixed_k_{lvl}"))
+
+        def one(p, v, e_l):
+            v, e_l = gn_block(p, v, e_l, graph.data[f"senders{suffix}"],
+                              graph.data[f"receivers{suffix}"],
+                              fixed_k=fixed_k, compute_dtype=cd)
+            return _selu(v), _selu(e_l)
+
+        trees = [params[n] for n in names]
+        structs = {jax.tree_util.tree_structure(t) for t in trees}
+        shapes = {tuple(x.shape for x in jax.tree_util.tree_leaves(t))
+                  for t in trees}
+        if scan_layers and len(names) > 1 and len(structs) == 1 \
+                and len(shapes) == 1:
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                             *trees)
+
+            def body(carry, p):
+                return one(p, *carry), None
+
+            (v, e_l), _ = jax.lax.scan(body, (v, e_l), stacked)
+        else:
+            for t in trees:
+                v, e_l = one(t, v, e_l)
+        return v, e_l
+
+    # group consecutive same-level layers
+    groups = []
     for _, name, lvl in plan:
+        if groups and groups[-1][0] == lvl:
+            groups[-1][1].append(name)
+        else:
+            groups.append((lvl, [name]))
+    for lvl, names in groups:
         while lvl > level:  # implicit down transition(s)
             level += 1
             skips[level - 1] = v
@@ -69,14 +109,7 @@ def mugs_apply(params: dict, graph: Graph, plan, num_fields: int,
                                 graph.data[f"up_w_{level}"])
             v = jnp.concatenate([v, skips.pop(level - 1)], axis=-1)
             level -= 1
-        suffix = "" if level == 1 else f"_{level}"
-        fixed_k = (graph.get("fixed_k") if level == 1
-                   else graph.get(f"fixed_k_{level}"))
-        v, e[level] = gn_block(params[name], v, e[level],
-                               graph.data[f"senders{suffix}"],
-                               graph.data[f"receivers{suffix}"],
-                               fixed_k=fixed_k, compute_dtype=cd)
-        v, e[level] = _selu(v), _selu(e[level])
+        v, e[level] = run_group(names, v, e[level], level)
     out = apply_mlp(params["decoder"], v, compute_dtype=cd)
     return graph.field[:, -num_fields:] + out
 
@@ -90,7 +123,7 @@ class MuGSGNN(GNN):
 
     def apply(self, params, graph: Graph, t: Optional[int] = None):
         return mugs_apply(params, graph, self.plan, self.num_fields,
-                          self.compute_dtype)
+                          self.compute_dtype, self.scan_layers)
 
 
 # ---- reference class-name aliases (mugs_gnn.py:11,135,297) ---------------

@@ -54,7 +54,8 @@ def _suffix(l: int) -> str:
 
 
 def remus_apply(params: dict, graph: Graph, plan, num_fields: int = 2,
-                compute_dtype=jnp.float32) -> jnp.ndarray:
+                compute_dtype=jnp.float32,
+                scan_layers: bool = False) -> jnp.ndarray:
     cd = compute_dtype
     num_levels = graph.num_levels
     field = graph.field
@@ -82,13 +83,45 @@ def remus_apply(params: dict, graph: Graph, plan, num_fields: int = 2,
                                     graph.data[f"xangle_attr_{l}"],
                                     compute_dtype=cd))
     level = 1
+
+    def run_mp_group(names, l):
+        """Fold identical-shape consecutive EdgeMP layers into one
+        lax.scan (compile-time optimisation; numerics unchanged)."""
+        angle_src = graph.data[f"angle_src{_suffix(l)}"]
+
+        def one(p, e_l, a_l):
+            e_l, a_l = edge_mp(p, e_l, a_l, angle_src, compute_dtype=cd)
+            return _selu(e_l), _selu(a_l)
+
+        trees = [params[n] for n in names]
+        structs = {jax.tree_util.tree_structure(t) for t in trees}
+        shapes = {tuple(x.shape for x in jax.tree_util.tree_leaves(t))
+                  for t in trees}
+        if scan_layers and len(names) > 1 and len(structs) == 1 \
+                and len(shapes) == 1:
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                             *trees)
+
+            def body(carry, p):
+                return one(p, *carry), None
+
+            (e[l], a[l]), _ = jax.lax.scan(body, (e[l], a[l]), stacked)
+        else:
+            for t in trees:
+                e[l], a[l] = one(t, e[l], a[l])
+
+    grouped = []
     for op in plan:
-        if op[0] == "mp":
-            _, name, l = op
-            e[l], a[l] = edge_mp(params[name], e[l], a[l],
-                                 graph.data[f"angle_src{_suffix(l)}"],
-                                 compute_dtype=cd)
-            e[l], a[l] = _selu(e[l]), _selu(a[l])
+        if op[0] == "mp" and grouped and grouped[-1][0] == "mp_group" \
+                and grouped[-1][2] == op[2]:
+            grouped[-1][1].append(op[1])
+        elif op[0] == "mp":
+            grouped.append(["mp_group", [op[1]], op[2]])
+        else:
+            grouped.append(op)
+    for op in grouped:
+        if op[0] == "mp_group":
+            run_mp_group(op[1], op[2])
         elif op[0] == "down":
             _, name, tgt = op
             e[tgt] = down_edge_mp(params[name], e[tgt - 1], e[tgt], xa[tgt],
@@ -126,7 +159,7 @@ class REMuSGNN(GNN):
 
     def apply(self, params, graph: Graph, t: Optional[int] = None):
         return remus_apply(params, graph, self.plan, self.num_fields,
-                           self.compute_dtype)
+                           self.compute_dtype, self.scan_layers)
 
 
 class NsRotEquiThreeScaleGNN(REMuSGNN):

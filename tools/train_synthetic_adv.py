@@ -1,0 +1,164 @@
+"""End-to-end capability demonstration: train a MuS-GNN on an analytic
+advection problem and measure long-horizon rollout accuracy.
+
+The dataset is exact: a smooth periodic field f0 (random Fourier modes)
+advected by a constant per-simulation velocity on the unit torus —
+``f(x, t) = f0(x - v·t)`` evaluated analytically at scattered nodes, so
+rollout error is measured against ground truth with no solver noise.
+
+Usage: python tools/train_synthetic_adv.py [--epochs 60] [--cpu]
+Writes metrics to synthetic_adv_results.json.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def field_fn(pos, t, vel, modes):
+    """Analytic periodic field advected by vel: sum of Fourier modes."""
+    x = pos[:, 0:1] - vel[0] * t
+    y = pos[:, 1:2] - vel[1] * t
+    out = np.zeros((pos.shape[0], 1), np.float32)
+    for (kx, ky, amp, phase) in modes:
+        out += amp * np.sin(2 * np.pi * (kx * x + ky * y) + phase)
+    return out.astype(np.float32)
+
+
+class SyntheticAdv:
+    """Analytic advection dataset in the framework's Graph format."""
+
+    def __init__(self, n_sims, n_nodes, n_out, transform, seed=0, T=60,
+                 dt=0.02):
+        self.n_sims, self.n_nodes, self.T, self.dt = n_sims, n_nodes, T, dt
+        self.n_out = n_out
+        self.transform = transform
+        self.rng = np.random.default_rng(seed)
+        self.sims = []
+        for i in range(n_sims):
+            r = np.random.default_rng(seed * 1000 + i)
+            pos = r.random((n_nodes, 2)).astype(np.float32)
+            vel = r.uniform(-0.5, 0.5, size=2).astype(np.float32)
+            modes = [(int(r.integers(1, 4)), int(r.integers(1, 4)),
+                      r.uniform(0.2, 0.5), r.uniform(0, 2 * np.pi))
+                     for _ in range(3)]
+            self.sims.append((pos, vel, modes))
+
+    def __len__(self):
+        return self.n_sims
+
+    def graph_at(self, i, t0, n_out):
+        from graphs4cfd_tpu.graph import Graph
+        pos, vel, modes = self.sims[i]
+        g = Graph()
+        g.pos = pos
+        g.loc = np.broadcast_to(vel, (self.n_nodes, 2)).copy()
+        g.field = field_fn(pos, t0 * self.dt, vel, modes)
+        g.target = np.concatenate(
+            [field_fn(pos, (t0 + 1 + j) * self.dt, vel, modes)
+             for j in range(n_out)], axis=1)
+        g.omega = np.zeros((self.n_nodes, 1), np.float32)
+        g.bound = np.ones(self.n_nodes, np.uint8)  # periodic everywhere
+        return self.transform(g)
+
+    def __getitem__(self, i):
+        t0 = int(self.rng.integers(0, self.T - self.n_out - 1))
+        return self.graph_at(i, t0, self.n_out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--n-nodes", type=int, default=1024)
+    ap.add_argument("--width", type=int, default=64)
+    ap.add_argument("--nmax", type=int, default=4)
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import graphs4cfd_tpu as gfd
+    from graphs4cfd_tpu.utils import Compose
+    from graphs4cfd_tpu.loader import DataLoader, collate
+    from graphs4cfd_tpu.metrics import r2, rollout_rmse
+
+    W = args.width
+    mp = ((W + 2 * W, (W, W, W), True), (W + W, (W, W, W), True))
+    arch = {
+        "edge_encoder": (2, (W, W, W), False),
+        "node_encoder": (4, (W, W, W), False),  # field(1) + loc(2) + omega(1)
+        "mp111": mp, "mp112": mp,
+        "down_mp12": (2 + W, (W, W, W), True),
+        "mp21": mp, "mp22": mp, "mp23": mp, "mp24": mp,
+        "up_mp21": (2 + W + W, (W, W, W), True),
+        "mp121": mp, "mp122": mp,
+        "decoder": (W, (W, W, 1), False),
+    }
+    transform = Compose([
+        gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
+        gfd.transforms.ScaleEdgeAttr(0.04),
+        gfd.transforms.AddUniformNoise(0.01, seed=1),
+        gfd.transforms.GridClustering([0.1]),
+    ])
+    eval_transform = Compose([
+        gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
+        gfd.transforms.ScaleEdgeAttr(0.04),
+        gfd.transforms.GridClustering([0.1]),
+    ])
+    n_out_max = args.nmax
+    train_ds = SyntheticAdv(64, args.n_nodes, n_out_max, transform, seed=1)
+    val_ds = SyntheticAdv(4, args.n_nodes, n_out_max, eval_transform,
+                          seed=99)
+    cfg = gfd.nn.TrainConfig(
+        name="synthadv", folder=".", tensor_board=None, chk_interval=20,
+        training_loss=gfd.nn.GraphLoss(), validation_loss=gfd.nn.GraphLoss(),
+        epochs=args.epochs,
+        num_steps=[n for n in (1, 2, 4, 6, 8) if n <= args.nmax],
+        add_steps={"tolerance": 0.02, "loss": "training"},
+        batch_size=8, lr=2e-4, grad_clip={"epoch": 0, "limit": 1},
+        scheduler={"factor": 0.5, "patience": 8, "loss": "training"},
+        stopping=1e-8, mixed_precision=not args.cpu)
+    model = gfd.nn.AdvTwoScaleGNN(
+        arch=arch, scan_layers=True,
+        compute_dtype=jnp.bfloat16 if not args.cpu else jnp.float32)
+    print(f"params: {model.num_params}", file=sys.stderr)
+    t0 = time.time()
+    train_loader = DataLoader(train_ds, batch_size=8, shuffle=True,
+                              node_bucket=1024 * 8, edge_bucket=1024)
+    val_loader = DataLoader(val_ds, batch_size=4, node_bucket=1024 * 8,
+                            edge_bucket=1024)
+    model.fit(cfg, train_loader, val_loader)
+    train_time = time.time() - t0
+
+    # ---- long-horizon rollout vs analytic truth ---------------------------
+    n_roll = 50
+    g = val_ds.graph_at(0, 0, n_roll)
+    batch = collate([g], node_bucket=64, edge_bucket=128).to_device()
+    pred = np.asarray(model.solve(batch, n_out=n_roll))
+    target = np.asarray(batch.target)
+    mask = np.asarray(batch.node_mask)
+    rmse = rollout_rmse(pred, target, node_mask=mask)
+    # field std ~ O(0.5); report normalised error too
+    nrmse = rmse / float(target[mask].std())
+    results = {
+        "train_time_s": round(train_time, 1),
+        "rollout_steps": n_roll,
+        "rollout_rmse": round(rmse, 5),
+        "rollout_nrmse": round(nrmse, 4),
+        "r2_step1": round(r2(pred[mask, 0], target[mask, 0]), 4),
+        "r2_step10": round(r2(pred[mask, 9], target[mask, 9]), 4),
+        "r2_step50": round(r2(pred[mask, 49], target[mask, 49]), 4),
+    }
+    print(json.dumps(results))
+    with open("synthetic_adv_results.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
