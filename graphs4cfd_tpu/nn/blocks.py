@@ -288,3 +288,55 @@ def up_edge_mp(params: dict,
     return apply_mlp(params,
                      jnp.concatenate([e1, e_fine_skip], axis=-1),
                      compute_dtype=compute_dtype)
+
+
+# ---------------------------------------------------------- API-parity shims
+def restriction(graph, coarse_mask, edge_attr, edge_index, num_nodes,
+                device=None):
+    """Reference-compatible ``restriction`` (``blocks.py:9-32``): renumber a
+    V¹-indexed coarse edge set into compacted coarse indices, in-place on
+    the graph.  In this framework coarse levels are built in local
+    numbering up front (``transforms.mugs``), so the runtime engines never
+    call this — it exists for users porting reference-style code.
+    """
+    mask = jnp.asarray(coarse_mask)
+    mask2idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    edge_index = jnp.asarray(edge_index)
+    graph.senders = mask2idx[edge_index[0]]
+    graph.receivers = mask2idx[edge_index[1]]
+    graph.edge_attr = edge_attr
+    return graph
+
+
+def lstsq(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Batched least squares ``AX = B`` (``blocks.py:71-85``) via the
+    closed-form k×2 pseudo-inverse when applicable, else jnp.linalg."""
+    if A.ndim == 3 and A.shape[-1] == 2:
+        from ..ops.linalg import pinv_k2
+        return pinv_k2(A) @ B
+    return jnp.linalg.lstsq(A, B)[0]
+
+
+def pool_edge(idxHR_to_idxLR, senders, receivers, edge_attr, aggr="mean"):
+    """Reference-compatible one-call ``pool_edge`` (``blocks.py:51-68``):
+    host-side structure + device reduction in one step.  The engines use
+    the split form (``ops.pool_edge_structure`` once + ``pool_edges`` per
+    step) — this convenience wrapper serves interactive use.
+    """
+    import numpy as np
+    from ..ops.coarsen import pool_edge_structure
+    cs, cr, f2c, _ = pool_edge_structure(np.asarray(idxHR_to_idxLR),
+                                         np.asarray(senders),
+                                         np.asarray(receivers))
+    if aggr == "mean":
+        attr = pool_edges(jnp.asarray(edge_attr), jnp.asarray(f2c), len(cs))
+    else:
+        attr = segment_sum(jnp.asarray(edge_attr), jnp.asarray(f2c),
+                           len(cs), mask=jnp.asarray(f2c >= 0))
+    return (cs, cr), attr
+
+
+# reference-namespace alias (nn/blocks.py:34-48)
+from ..ops.interp import knn_interpolate  # noqa: E402,F401
+# reference camelCase alias (blocks.py:88)
+edgeScalarToNodeVector = edge_scalar_to_node_vector

@@ -130,6 +130,24 @@ class GNN:
                 lambda tmpl, w: jnp.asarray(w, tmpl.dtype) if tmpl is not None else w,
                 self.params, state["weights"])
 
+    def load_model(self, arch=None, weights=None, checkpoint=None,
+                   seed: int = 0):
+        """Reference-compatible loader (``model.py:112-130``): arch dict
+        (+ optional weights file) or a self-describing checkpoint."""
+        if arch is not None and checkpoint is None:
+            self.load_arch(arch, seed=seed)
+            if weights is not None:
+                from ..training.checkpoint import load_weights
+                self.params = load_weights(weights, like=self.params)
+        elif checkpoint is not None:
+            from ..training.checkpoint import load_checkpoint
+            state = load_checkpoint(checkpoint)
+            self.load_arch(state["arch"], seed=seed)
+            self.params = jax.tree_util.tree_map(
+                lambda tmpl, w: jnp.asarray(w, tmpl.dtype),
+                self.params, state["weights"])
+        return self
+
     # ------------------------------------------------------------------ arch
     def load_arch(self, arch: dict, seed: int = 0):
         self.arch = dict(arch)

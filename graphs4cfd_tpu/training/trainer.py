@@ -39,6 +39,7 @@ from .config import TrainConfig
 from .schedule import ReduceLROnPlateau
 from .checkpoint import load_checkpoint, save_checkpoint
 from .metrics_writer import MetricsWriter
+from ..utils.profiling import trace_annotation
 from ..nn.model import grad_norm2
 
 
@@ -197,12 +198,14 @@ def fit(model, train_config: TrainConfig, train_loader,
         t0 = time.time()
         edges = 0
         for graph in train_loader:
-            graph = graph.to_device()
+            with trace_annotation("host_to_device"):
+                graph = graph.to_device()
             clip_on = (cfg["grad_clip"] is not None
                        and epoch > cfg["grad_clip"]["epoch"])
-            model.params, opt_state, loss, gnorm = train_step(
-                model.params, opt_state, graph, jnp.float32(lr),
-                jnp.bool_(clip_on))
+            with trace_annotation("train_step"):
+                model.params, opt_state, loss, gnorm = train_step(
+                    model.params, opt_state, graph, jnp.float32(lr),
+                    jnp.bool_(clip_on))
             training_loss += float(loss)
             gradients_norm += float(gnorm)
             edges += graph.num_edges * n_out

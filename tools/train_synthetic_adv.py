@@ -34,7 +34,7 @@ class SyntheticAdv:
     """Analytic advection dataset in the framework's Graph format."""
 
     def __init__(self, n_sims, n_nodes, n_out, transform, seed=0, T=60,
-                 dt=0.02):
+                 dt=0.01):
         self.n_sims, self.n_nodes, self.T, self.dt = n_sims, n_nodes, T, dt
         self.n_out = n_out
         self.transform = transform
@@ -43,7 +43,7 @@ class SyntheticAdv:
         for i in range(n_sims):
             r = np.random.default_rng(seed * 1000 + i)
             pos = r.random((n_nodes, 2)).astype(np.float32)
-            vel = r.uniform(-0.5, 0.5, size=2).astype(np.float32)
+            vel = r.uniform(-0.3, 0.3, size=2).astype(np.float32)
             modes = [(int(r.integers(1, 4)), int(r.integers(1, 4)),
                       r.uniform(0.2, 0.5), r.uniform(0, 2 * np.pi))
                      for _ in range(3)]
@@ -112,7 +112,7 @@ def main():
         gfd.transforms.GridClustering([0.1]),
     ])
     n_out_max = args.nmax
-    train_ds = SyntheticAdv(64, args.n_nodes, n_out_max, transform, seed=1)
+    train_ds = SyntheticAdv(128, args.n_nodes, n_out_max, transform, seed=1)
     val_ds = SyntheticAdv(4, args.n_nodes, n_out_max, eval_transform,
                           seed=99)
     cfg = gfd.nn.TrainConfig(
@@ -120,9 +120,9 @@ def main():
         training_loss=gfd.nn.GraphLoss(), validation_loss=gfd.nn.GraphLoss(),
         epochs=args.epochs,
         num_steps=[n for n in (1, 2, 4, 6, 8) if n <= args.nmax],
-        add_steps={"tolerance": 0.02, "loss": "training"},
+        add_steps={"tolerance": 0.03, "loss": "training"},
         batch_size=8, lr=2e-4, grad_clip={"epoch": 0, "limit": 1},
-        scheduler={"factor": 0.5, "patience": 8, "loss": "training"},
+        scheduler={"factor": 0.5, "patience": 15, "loss": "training"},
         stopping=1e-8, mixed_precision=not args.cpu)
     model = gfd.nn.AdvTwoScaleGNN(
         arch=arch, scan_layers=True,
