@@ -89,6 +89,28 @@ def gn_block(params: dict,
     receivers, the node MLP sees ``[aggr, v]``.  Returns ``(v', e')``.
     """
     num_nodes = v.shape[0]
+    if fixed_k is not None and aggr == "mean" and edge_mask is None:
+        from ..config import pallas_enabled
+        if pallas_enabled():
+            from ..ops import pallas_gnblock as pg
+            if pg.supports(params["edge_mlp"], params["node_mlp"],
+                           num_nodes, e.shape[-1], v.shape[-1], fixed_k):
+                # whole-block fused kernel; only the sender gather stays out
+                cd = compute_dtype
+                act = cd if cd != jnp.float32 else jnp.float32
+                w1 = params["edge_mlp"]["layers"][0]["w"]
+                fe, fv = e.shape[-1], v.shape[-1]
+                vs = (v.astype(cd) @ w1[fe:fe + fv].astype(cd)).astype(act)
+                if sender_sort is not None:
+                    from ..ops.segment import gather_sorted_bwd
+                    vsg = gather_sorted_bwd(vs, senders, *sender_sort)
+                else:
+                    vsg = vs[senders]
+                interpret = jax.default_backend() != "tpu"
+                e_new, v_new = pg.gn_block_fused(
+                    params["edge_mlp"], params["node_mlp"], e, vsg, v,
+                    fixed_k, compute_dtype=cd, interpret=interpret)
+                return v_new, e_new
     h = _edge_first_layer(params["edge_mlp"], e, v, senders, receivers,
                           compute_dtype, fixed_k=fixed_k,
                           sender_sort=sender_sort)

@@ -1,0 +1,368 @@
+"""Pallas fused GN-block kernel — one VMEM pass per message-passing layer.
+
+Fuses the whole fixed-indegree GN block (``nn/blocks.py:gn_block``; the
+reference's ``GNBlock``, ``/root/reference/graphs4cfd/nn/blocks.py:147-190``)
+for the canonical receiver-sorted exact-k edge layout:
+
+    h₁    = e·We + vsg + repeatₖ(v·Wr) + b₁        (fused first edge layer)
+    e'    = SELU-chain + LayerNorm over h₁          (edge MLP tail)
+    aggr  = meanₖ(e')                               (fixed-k aggregation)
+    hₙ    = aggr·Wa + v·Wv + bₙ                     (fused first node layer)
+    v'    = SELU-chain + LayerNorm over hₙ          (node MLP tail)
+
+With an edge block of ``k·B`` rows per node block of ``B`` rows, receivers
+are local to the block, so aggregation is an in-VMEM reshape-mean and the
+kernel reads (e, vsg, v) once and writes (e', v') once — everything between
+lives in VMEM.  The sender projection ``vsg = (v·Ws)[senders]`` stays
+outside (a global gather), keeping a clean custom-VJP boundary: its
+cotangent flows back through XLA's gather transpose.
+
+The backward kernel recomputes all intermediates per block (remat) and
+accumulates weight gradients in f32 VMEM scratch across the sequential TPU
+grid.  ``d e'`` receives both the downstream edge-state cotangent and the
+aggregation path: ``de' = g_e + repeatₖ(daggr)/k``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_mlp import _selu, _dselu, _chain_forward, _apply_ln
+
+import os
+DEFAULT_NODE_BLOCK = int(os.environ.get("GRAPHS4CFD_GN_BLOCK", "256"))
+
+
+def _ln_backward(g, xhat, rstd, scale):
+    dxhat = g * scale[0]
+    m1 = dxhat.mean(axis=-1, keepdims=True)
+    m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
+    return (dxhat - m1 - xhat * m2) * rstd
+
+
+def _chain_backward(da, x_first, preacts, ws, bs, sws, sbs,
+                    preact_input: bool):
+    """Backprop a Linear/SELU chain given d(pre-LN output); accumulates dW
+    into scratch refs; returns d(chain input) (pre-activation if
+    ``preact_input``)."""
+    n = len(ws)
+    for i in range(n - 1, -1, -1):
+        if i > 0:
+            h_prev = _selu(preacts[i - 1])
+        elif preact_input:
+            h_prev = _selu(x_first.astype(jnp.float32))
+        else:
+            h_prev = x_first.astype(jnp.float32)
+        da_c = da.astype(ws[i].dtype)
+        sws[i][:] += jnp.dot(h_prev.astype(ws[i].dtype).T, da_c,
+                             preferred_element_type=jnp.float32)
+        sbs[i][:] += da.sum(axis=0, keepdims=True)
+        dh = jnp.dot(da_c, ws[i].T, preferred_element_type=jnp.float32)
+        if i > 0:
+            da = dh * _dselu(preacts[i - 1])
+        elif preact_input:
+            return dh * _dselu(x_first.astype(jnp.float32))
+        else:
+            return dh
+    return da
+
+
+def _fwd_math(e, vsg, v, k, ew, eb, eln, nw, nb, nln, save=False):
+    """Shared forward math on one block. Returns e_new, v_new (+ residual
+    intermediates when ``save``)."""
+    Eb = e.shape[0]
+    B = Eb // k
+    # first edge layer (We is ew[0][:Fe], Wr is ew[0][Fe:])
+    fe = e.shape[-1]
+    we, wr = ew[0][:fe], ew[0][fe:]
+    h1 = jnp.dot(e, we, preferred_element_type=jnp.float32)
+    h1 = h1 + vsg.astype(jnp.float32)
+    vr = jnp.dot(v, wr, preferred_element_type=jnp.float32)
+    h1 = h1 + jnp.repeat(vr, k, axis=0)
+    h1 = h1 + eb[0][0]
+    e_pre, e_preacts = _chain_forward(h1, ew[1:], eb[1:], True)
+    if eln is not None:
+        e_new, e_xhat, e_rstd = _apply_ln(e_pre, eln[0], eln[1])
+    else:
+        e_new, e_xhat, e_rstd = e_pre, None, None
+    aggr = e_new.reshape(B, k, -1).mean(axis=1)
+    fa = aggr.shape[-1]
+    wa, wv = nw[0][:fa], nw[0][fa:]
+    hn = jnp.dot(aggr.astype(nw[0].dtype), wa,
+                 preferred_element_type=jnp.float32) \
+        + jnp.dot(v, wv, preferred_element_type=jnp.float32) + nb[0][0]
+    v_pre, n_preacts = _chain_forward(hn, nw[1:], nb[1:], True)
+    if nln is not None:
+        v_new, n_xhat, n_rstd = _apply_ln(v_pre, nln[0], nln[1])
+    else:
+        v_new, n_xhat, n_rstd = v_pre, None, None
+    if not save:
+        return e_new, v_new
+    return (e_new, v_new, h1, e_preacts, e_xhat, e_rstd, aggr, hn,
+            n_preacts, n_xhat, n_rstd)
+
+
+def _split(flat, n_e, n_n, has_eln, has_nln):
+    i = 0
+    ew = flat[i:i + n_e]; i += n_e
+    eb = flat[i:i + n_e]; i += n_e
+    eln = flat[i:i + 2] if has_eln else None; i += 2 if has_eln else 0
+    nw = flat[i:i + n_n]; i += n_n
+    nb = flat[i:i + n_n]; i += n_n
+    nln = flat[i:i + 2] if has_nln else None; i += 2 if has_nln else 0
+    return ew, eb, eln, nw, nb, nln
+
+
+def _make_fwd_kernel(n_e, n_n, has_eln, has_nln, k, out_dtype):
+    def kernel(*refs):
+        e_ref, vsg_ref, v_ref = refs[0], refs[1], refs[2]
+        flat = [r[:] for r in refs[3:-2]]
+        e_out, v_out = refs[-2], refs[-1]
+        ew, eb, eln, nw, nb, nln = _split(flat, n_e, n_n, has_eln, has_nln)
+        e_new, v_new = _fwd_math(e_ref[:], vsg_ref[:], v_ref[:], k,
+                                 ew, eb, eln, nw, nb, nln)
+        e_out[:] = e_new.astype(out_dtype)
+        v_out[:] = v_new.astype(out_dtype)
+    return kernel
+
+
+def _make_bwd_kernel(n_e, n_n, has_eln, has_nln, k, in_dtype):
+    n_params = 2 * n_e + 2 * n_n + (2 if has_eln else 0) \
+        + (2 if has_nln else 0)
+
+    def kernel(*refs):
+        idx = 0
+        e_ref, vsg_ref, v_ref = refs[idx], refs[idx + 1], refs[idx + 2]
+        idx += 3
+        ge_ref, gv_ref = refs[idx], refs[idx + 1]
+        idx += 2
+        flat = [r[:] for r in refs[idx:idx + n_params]]
+        idx += n_params
+        de_ref, dvsg_ref, dv_ref = refs[idx], refs[idx + 1], refs[idx + 2]
+        idx += 3
+        dparams = refs[idx:idx + n_params]
+        idx += n_params
+        sparams = refs[idx:idx + n_params]
+
+        ew, eb, eln, nw, nb, nln = _split(flat, n_e, n_n, has_eln, has_nln)
+        # scratch views in the same order as flat
+        s_ew, s_eb, s_eln, s_nw, s_nb, s_nln = _split(
+            list(sparams), n_e, n_n, has_eln, has_nln)
+
+        step = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+
+        @pl.when(step == 0)
+        def _init():
+            for s in sparams:
+                s[:] = jnp.zeros_like(s)
+
+        e, vsg, v = e_ref[:], vsg_ref[:], v_ref[:]
+        (e_new, v_new, h1, e_preacts, e_xhat, e_rstd, aggr, hn,
+         n_preacts, n_xhat, n_rstd) = _fwd_math(
+            e, vsg, v, k, ew, eb, eln, nw, nb, nln, save=True)
+        Eb = e.shape[0]
+        B = Eb // k
+        gv = gv_ref[:].astype(jnp.float32)
+        ge = ge_ref[:].astype(jnp.float32)
+
+        # ---- node chain backward -----------------------------------------
+        if has_nln:
+            s_nln[0][:] += (gv * n_xhat).sum(axis=0, keepdims=True)
+            s_nln[1][:] += gv.sum(axis=0, keepdims=True)
+            da = _ln_backward(gv, n_xhat, n_rstd, nln[0])
+        else:
+            da = gv
+        # chain layers nw[1:] take hn as pre-activation input
+        dhn = _chain_backward(da, hn, n_preacts, nw[1:], nb[1:],
+                              s_nw[1:], s_nb[1:], preact_input=True)
+        # first node layer: hn = aggr@Wa + v@Wv + nb1
+        fa = aggr.shape[-1]
+        wa, wv = nw[0][:fa], nw[0][fa:]
+        dhn_c = dhn.astype(nw[0].dtype)
+        s_nw[0][:fa] += jnp.dot(aggr.astype(nw[0].dtype).T, dhn_c,
+                                preferred_element_type=jnp.float32)
+        s_nw[0][fa:] += jnp.dot(v.astype(nw[0].dtype).T, dhn_c,
+                                preferred_element_type=jnp.float32)
+        s_nb[0][:] += dhn.sum(axis=0, keepdims=True)
+        daggr = jnp.dot(dhn_c, wa.T, preferred_element_type=jnp.float32)
+        dv = jnp.dot(dhn_c, wv.T, preferred_element_type=jnp.float32)
+
+        # ---- aggregation backward: de' += repeat(daggr)/k ----------------
+        de_new = ge + jnp.repeat(daggr / k, k, axis=0)
+
+        # ---- edge chain backward -----------------------------------------
+        if has_eln:
+            s_eln[0][:] += (de_new * e_xhat).sum(axis=0, keepdims=True)
+            s_eln[1][:] += de_new.sum(axis=0, keepdims=True)
+            da = _ln_backward(de_new, e_xhat, e_rstd, eln[0])
+        else:
+            da = de_new
+        dh1 = _chain_backward(da, h1, e_preacts, ew[1:], eb[1:],
+                              s_ew[1:], s_eb[1:], preact_input=True)
+        # first edge layer: h1 = e@We + vsg + repeat(v@Wr) + b1
+        fe = e.shape[-1]
+        we, wr = ew[0][:fe], ew[0][fe:]
+        dh1_c = dh1.astype(ew[0].dtype)
+        s_ew[0][:fe] += jnp.dot(e.astype(ew[0].dtype).T, dh1_c,
+                                preferred_element_type=jnp.float32)
+        dvr = dh1.reshape(B, k, -1).sum(axis=1)
+        s_ew[0][fe:] += jnp.dot(v.astype(ew[0].dtype).T,
+                                dvr.astype(ew[0].dtype),
+                                preferred_element_type=jnp.float32)
+        s_eb[0][:] += dh1.sum(axis=0, keepdims=True)
+        de_ref[:] = jnp.dot(dh1_c, we.T,
+                            preferred_element_type=jnp.float32).astype(
+                                in_dtype)
+        dvsg_ref[:] = dh1.astype(in_dtype)
+        dv = dv + jnp.dot(dvr.astype(ew[0].dtype), wr.T,
+                          preferred_element_type=jnp.float32)
+        dv_ref[:] = dv.astype(in_dtype)
+
+        @pl.when(step == nsteps - 1)
+        def _write():
+            for d, s in zip(dparams, sparams):
+                d[:] = s[:]
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _gn_fused(e, vsg, v, flat_params, n_e, n_n, has_eln, has_nln, k, block,
+              interpret):
+    return _gn_fused_fwd_impl(e, vsg, v, flat_params, n_e, n_n, has_eln,
+                              has_nln, k, block, interpret)
+
+
+def _common_specs(e, vsg, v, flat_params, k, block):
+    B = block
+    Eb = k * B
+    H = vsg.shape[-1]
+    in_specs = [
+        pl.BlockSpec((Eb, e.shape[-1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Eb, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, v.shape[-1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inv2 = lambda i: (0, 0)
+    for p in flat_params:
+        in_specs.append(pl.BlockSpec(p.shape, inv2,
+                                     memory_space=pltpu.VMEM))
+    return in_specs, Eb, H
+
+
+def _gn_fused_fwd_impl(e, vsg, v, flat_params, n_e, n_n, has_eln, has_nln,
+                       k, block, interpret):
+    grid = (v.shape[0] // block,)
+    in_specs, Eb, H = _common_specs(e, vsg, v, flat_params, k, block)
+    kernel = _make_fwd_kernel(n_e, n_n, has_eln, has_nln, k, e.dtype)
+    e_new, v_new = pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs,
+        out_specs=(pl.BlockSpec((Eb, H), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((block, H), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((e.shape[0], H), e.dtype),
+                   jax.ShapeDtypeStruct((v.shape[0], H), e.dtype)),
+        interpret=interpret,
+    )(e, vsg, v, *flat_params)
+    return e_new, v_new
+
+
+def _gn_vjp_fwd(e, vsg, v, flat_params, n_e, n_n, has_eln, has_nln, k,
+                block, interpret):
+    out = _gn_fused_fwd_impl(e, vsg, v, flat_params, n_e, n_n, has_eln,
+                             has_nln, k, block, interpret)
+    return out, (e, vsg, v, flat_params)
+
+
+def _gn_vjp_bwd(n_e, n_n, has_eln, has_nln, k, block, interpret, res, g):
+    e, vsg, v, flat_params = res
+    ge, gv = g
+    grid = (v.shape[0] // block,)
+    in_specs, Eb, H = _common_specs(e, vsg, v, flat_params, k, block)
+    # insert cotangent specs after (e, vsg, v)
+    ct_specs = [pl.BlockSpec((Eb, H), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, H), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs = in_specs[:3] + ct_specs + in_specs[3:]
+    inv2 = lambda i: (0, 0)
+    out_shapes = [jax.ShapeDtypeStruct(e.shape, e.dtype),
+                  jax.ShapeDtypeStruct(vsg.shape, vsg.dtype),
+                  jax.ShapeDtypeStruct(v.shape, v.dtype)]
+    out_specs = [pl.BlockSpec((Eb, e.shape[-1]), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((Eb, H), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((block, v.shape[-1]), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    for p in flat_params:
+        out_shapes.append(jax.ShapeDtypeStruct(p.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(p.shape, inv2,
+                                      memory_space=pltpu.VMEM))
+    scratch = [pltpu.VMEM(p.shape, jnp.float32) for p in flat_params]
+    kernel = _make_bwd_kernel(n_e, n_n, has_eln, has_nln, k, e.dtype)
+    outs = pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes), scratch_shapes=scratch,
+        interpret=interpret,
+    )(e, vsg, v, ge, gv, *flat_params)
+    de, dvsg, dv = outs[0], outs[1], outs[2]
+    return de, dvsg, dv, tuple(outs[3:])
+
+
+_gn_fused.defvjp(_gn_vjp_fwd, _gn_vjp_bwd)
+
+
+def supports(edge_mlp: dict, node_mlp: dict, num_nodes: int, fe: int,
+             fv: int, k: int, block: int = DEFAULT_NODE_BLOCK) -> bool:
+    """Shape gate: node count divisible by the block, all feature dims
+    lane-aligned (multiples of 128)."""
+    if num_nodes % block:
+        return False
+    dims = [fe, fv] \
+        + [l["w"].shape[1] for l in edge_mlp["layers"]] \
+        + [l["w"].shape[1] for l in node_mlp["layers"]]
+    return all(d % 128 == 0 for d in dims)
+
+
+def gn_block_fused(edge_mlp: dict, node_mlp: dict, e, vsg, v, k: int, *,
+                   compute_dtype=jnp.float32,
+                   block: int = DEFAULT_NODE_BLOCK,
+                   interpret: bool = False) -> Tuple[jnp.ndarray,
+                                                     jnp.ndarray]:
+    """Run the fused GN block.
+
+    ``vsg`` is the pre-gathered sender projection ``(v@Ws)[senders]``;
+    the edge-MLP first-layer weight passed to the kernel is ``[We; Wr]``
+    (the Ws rows are consumed outside).
+    """
+    cd = compute_dtype
+    act = cd if cd != jnp.float32 else jnp.float32
+    fe = e.shape[-1]
+    fv = v.shape[-1]
+    w1 = edge_mlp["layers"][0]["w"]
+    we_wr = jnp.concatenate([w1[:fe], w1[fe + fv:]], axis=0).astype(cd)
+    ew = (we_wr,) + tuple(l["w"].astype(cd)
+                          for l in edge_mlp["layers"][1:])
+    eb = tuple(l["b"].reshape(1, -1).astype(jnp.float32)
+               for l in edge_mlp["layers"])
+    eln = ((edge_mlp["ln"]["scale"].reshape(1, -1).astype(jnp.float32),
+            edge_mlp["ln"]["bias"].reshape(1, -1).astype(jnp.float32))
+           if "ln" in edge_mlp else ())
+    nw = tuple(l["w"].astype(cd) for l in node_mlp["layers"])
+    nb = tuple(l["b"].reshape(1, -1).astype(jnp.float32)
+               for l in node_mlp["layers"])
+    nln = ((node_mlp["ln"]["scale"].reshape(1, -1).astype(jnp.float32),
+            node_mlp["ln"]["bias"].reshape(1, -1).astype(jnp.float32))
+           if "ln" in node_mlp else ())
+    flat = (*ew, *eb, *eln, *nw, *nb, *nln)
+    return _gn_fused(e.astype(act), vsg.astype(act), v.astype(act), flat,
+                     len(ew), len(nw), bool(eln), bool(nln), k, block,
+                     interpret)
