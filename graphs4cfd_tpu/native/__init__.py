@@ -32,11 +32,13 @@ def _load():
             or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
         _build()
     _lib = ctypes.CDLL(_SO)
-    _lib.knn_neighbors.argtypes = [
+    knn_sig = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32)]
+    _lib.knn_neighbors.argtypes = knn_sig
+    _lib.knn_neighbors_grid.argtypes = knn_sig
     _lib.guillard_coarsening.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8)]
@@ -51,11 +53,15 @@ try:
         x = np.ascontiguousarray(x, dtype=np.float64)
         q = np.ascontiguousarray(queries, dtype=np.float64)
         out = np.empty((q.shape[0], k), dtype=np.int32)
-        _lib.knn_neighbors(
-            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), x.shape[0],
-            q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), q.shape[0],
-            x.shape[1], k, int(exclude_self),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        # grid-accelerated exact kNN for larger sets (O(N·k) expected);
+        # plain brute force below the crossover
+        fn = (_lib.knn_neighbors_grid
+              if x.shape[0] > 2000 and x.shape[1] <= 4
+              else _lib.knn_neighbors)
+        fn(x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), x.shape[0],
+           q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), q.shape[0],
+           x.shape[1], k, int(exclude_self),
+           out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         return out
 
     def guillard_coarsening(senders: np.ndarray, num_nodes: int, k: int
