@@ -1,8 +1,10 @@
 """Parallelism: device meshes, data-parallel training, graph partitioning."""
 from .mesh import make_mesh, initialize_distributed
 from .dp import make_dp_train_step, make_dp_rollout
-from .graph_parallel import partition_graph, gp_mus_apply, make_gp_forward
+from .graph_parallel import (partition_graph, partition_batches,
+                             gp_mus_apply, make_gp_forward,
+                             make_dp_gp_forward)
 
 __all__ = ["make_mesh", "initialize_distributed", "make_dp_train_step",
-           "make_dp_rollout", "partition_graph", "gp_mus_apply",
-           "make_gp_forward"]
+           "make_dp_rollout", "partition_graph", "partition_batches", "gp_mus_apply",
+           "make_gp_forward", "make_dp_gp_forward"]

@@ -293,6 +293,64 @@ def gp_mus_apply(params: dict, graph: Graph, plan, num_fields: int,
     return graph.field[:, -num_fields:] + out
 
 
+def partition_batches(batches, num_parts: int):
+    """Partition several collated batches (DP groups) ``num_parts``-ways
+    each and stack into ``[num_groups, num_parts, ...]`` arrays — the input
+    of the combined data×graph 2-axis mesh.  Halo tables are padded to a
+    common Pmax across groups."""
+    parts = [partition_graph(b, num_parts) for b in batches]
+    pmax = max(info["pmax"] for _, info in parts)
+    out = {}
+    g0 = parts[0][0]
+    for key in g0.data:
+        vals = [p.data[key] for p, _ in parts]
+        if not isinstance(vals[0], np.ndarray):
+            assert all(v == vals[0] for v in vals)
+            out[key] = vals[0]
+            continue
+        if key == "halo_send":
+            vals = [np.pad(v, ((0, 0), (0, 0), (0, pmax - v.shape[-1])))
+                    for v in vals]
+        out[key] = np.stack(vals, axis=0)
+    # edge_lidx references halo slots at block + o*pmax_group + p; remap to
+    # the common pmax
+    for gi, (p, info) in enumerate(parts):
+        old_pmax = info["pmax"]
+        if old_pmax == pmax:
+            continue
+        lidx = out["edge_lidx"][gi]
+        block = p.data["pos"].shape[1]
+        halo = lidx >= block
+        o = (lidx - block) // old_pmax
+        r = (lidx - block) % old_pmax
+        out["edge_lidx"][gi] = np.where(halo, block + o * pmax + r, lidx)
+    return Graph(data=out), {"perms": [info["perms"] for _, info in parts],
+                             "pmax": pmax}
+
+
+def make_dp_gp_forward(model, mesh: Mesh):
+    """Jitted forward over a 2-axis mesh: batch groups on ``data``,
+    each group's graph edge-partitioned on ``graph`` (the full
+    DP × graph-parallel composition)."""
+
+    def per_device(params, arrays: dict, *, statics: dict):
+        arrays = {k: v[0, 0] for k, v in arrays.items()}
+        graph = Graph(data={**arrays, **statics})
+        out = gp_mus_apply(params, graph, model.plan, model.num_fields,
+                           axis="graph", compute_dtype=model.compute_dtype)
+        return out[None, None]
+
+    def run(params, graph: Graph):
+        arrays, statics = graph.arrays(), graph.statics()
+        specs = {k: P("data", "graph") for k in arrays}
+        fn = shard_map(partial(per_device, statics=statics), mesh=mesh,
+                       in_specs=(P(), specs), out_specs=P("data", "graph"),
+                       check_vma=False)
+        return fn(params, arrays)
+
+    return jax.jit(run)
+
+
 def make_gp_forward(model, mesh: Mesh, axis: str = "graph"):
     """Jitted sharded forward over the mesh's ``graph`` axis."""
 
