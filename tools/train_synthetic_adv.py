@@ -78,6 +78,7 @@ def main():
     ap.add_argument("--n-nodes", type=int, default=1024)
     ap.add_argument("--width", type=int, default=64)
     ap.add_argument("--nmax", type=int, default=4)
+    ap.add_argument("--sims", type=int, default=128)
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -112,14 +113,14 @@ def main():
         gfd.transforms.GridClustering([0.1]),
     ])
     n_out_max = args.nmax
-    train_ds = SyntheticAdv(128, args.n_nodes, n_out_max, transform, seed=1)
+    train_ds = SyntheticAdv(args.sims, args.n_nodes, n_out_max, transform, seed=1)
     val_ds = SyntheticAdv(4, args.n_nodes, n_out_max, eval_transform,
                           seed=99)
     cfg = gfd.nn.TrainConfig(
         name="synthadv", folder=".", tensor_board=None, chk_interval=20,
         training_loss=gfd.nn.GraphLoss(), validation_loss=gfd.nn.GraphLoss(),
         epochs=args.epochs,
-        num_steps=[n for n in (1, 2, 4, 6, 8) if n <= args.nmax],
+        num_steps=[n for n in (1, 2, 4, 6, 8, 10) if n <= args.nmax],
         add_steps={"tolerance": 0.03, "loss": "training"},
         batch_size=8, lr=2e-4, grad_clip={"epoch": 0, "limit": 1},
         scheduler={"factor": 0.5, "patience": 15, "loss": "training"},
