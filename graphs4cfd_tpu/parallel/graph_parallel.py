@@ -351,6 +351,76 @@ def make_dp_gp_forward(model, mesh: Mesh):
     return jax.jit(run)
 
 
+def make_gp_train_step(model, criterion, mesh: Mesh, n_out: int = 1,
+                       grad_clip_limit=None, axis: str = "graph"):
+    """Jitted training step for ONE edge-partitioned giant mesh.
+
+    The forward runs under shard_map (halo exchange per MP layer); the
+    loss is a global masked mean (psum over the axis); parameters are
+    replicated and their gradients reduce automatically through the
+    shard_map transpose.  Per-rollout-step optimiser updates as in
+    ``training.trainer.make_train_step``.
+    """
+    import optax
+    from ..nn.model import grad_norm2
+    opt = optax.scale_by_adam()
+    num_fields = model.num_fields
+
+    def per_device_loss(params, arrays, statics, t):
+        arrays = {k: v[0] for k, v in arrays.items()}
+        graph = Graph(data={**arrays, **statics})
+        pred = gp_mus_apply(params, graph, model.plan, num_fields,
+                            axis=axis, compute_dtype=model.compute_dtype)
+        tgt = jax.lax.dynamic_slice_in_dim(graph.target, t * num_fields,
+                                           num_fields, axis=1)
+        mask = graph.node_mask
+        sq = jnp.where(mask[:, None], (pred - tgt) ** 2, 0.0)
+        local_sum = sq.sum()
+        local_cnt = mask.sum() * num_fields
+        total = jax.lax.psum(local_sum, axis)
+        cnt = jax.lax.psum(local_cnt, axis)
+        return total / jnp.maximum(cnt, 1), pred[None]
+
+    def step(params, opt_state, graph: Graph, lr, clip_on):
+        arrays, statics = graph.arrays(), graph.statics()
+
+        def loss_t(params, field_shards, t):
+            arr = dict(arrays)
+            arr["field"] = field_shards
+            fn = shard_map(
+                partial(per_device_loss, statics=statics, t=t),
+                mesh=mesh,
+                in_specs=(P(), _graph_specs(arr, axis)),
+                out_specs=(P(), P(axis)),
+                check_vma=False)
+            return fn(params, arr)
+
+        def body(carry, t):
+            params, opt_state, field = carry
+            (loss, pred), grads = jax.value_and_grad(
+                lambda p: loss_t(p, field, t), has_aux=True)(params)
+            gnorm = grad_norm2(grads)
+            if grad_clip_limit is not None:
+                scale = jnp.where(clip_on & (gnorm > grad_clip_limit),
+                                  grad_clip_limit / jnp.maximum(gnorm, 1e-12),
+                                  1.0)
+                grads = jax.tree_util.tree_map(lambda g_: g_ * scale, grads)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(params, updates)
+            field = jnp.concatenate(
+                [field[..., num_fields:], jax.lax.stop_gradient(pred)],
+                axis=-1)
+            return (params, opt_state, field), loss
+
+        (params, opt_state, _), losses = jax.lax.scan(
+            body, (params, opt_state, arrays["field"]),
+            jnp.arange(n_out, dtype=jnp.int32))
+        return params, opt_state, losses.mean()
+
+    return jax.jit(step)
+
+
 def make_gp_forward(model, mesh: Mesh, axis: str = "graph"):
     """Jitted sharded forward over the mesh's ``graph`` axis."""
 

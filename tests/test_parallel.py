@@ -94,3 +94,35 @@ def test_graph_parallel_exact_vs_single_device():
     valid = np.asarray(batch.node_mask)
     np.testing.assert_allclose(unperm[valid], ref[valid],
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_graph_parallel_train_step_matches_single_device():
+    """One gp train step == one single-device train step (params close)."""
+    from graphs4cfd_tpu.parallel import make_gp_train_step
+    from graphs4cfd_tpu.training.trainer import make_train_step, _adam_opt
+    import optax
+
+    model = g4c.nn.MuSGNN(arch=mus_arch(5, 1), seed=6)
+    batch = collate(_samples(11, [430]), node_bucket=64, edge_bucket=128)
+    sharded, info = partition_graph(batch, 8)
+    mesh = make_mesh(num_data=1, num_graph=8)
+
+    # single-device reference step on the SAME (unsharded) batch
+    step1 = make_train_step(model.apply, GraphLoss(), 1, 2, 1.0)
+    o1 = _adam_opt().init(model.params)
+    p_ref, _, loss_ref, _ = step1(model.params, o1, batch.to_device(),
+                                  jnp.float32(1e-3), jnp.bool_(True))
+
+    stepg = make_gp_train_step(model, GraphLoss(), mesh, n_out=2,
+                               grad_clip_limit=1.0)
+    og = optax.scale_by_adam().init(model.params)
+    p_gp, _, loss_gp = stepg(model.params, og, sharded.to_device(),
+                             jnp.float32(1e-3), jnp.bool_(True))
+
+    np.testing.assert_allclose(float(loss_gp), float(loss_ref),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_gp),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
