@@ -1,0 +1,84 @@
+"""Pallas kernel correctness in interpreter mode (runs on CPU).
+
+Covers the fused MLP-chain kernel (ops/pallas_mlp.py) and the fused
+GN-block kernel (ops/pallas_gnblock.py): forward and full custom-VJP
+gradients vs the XLA reference paths.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graphs4cfd_tpu.nn.mlp import init_mlp, apply_mlp, apply_mlp_tail
+from graphs4cfd_tpu.nn import blocks
+from graphs4cfd_tpu.ops.pallas_mlp import fused_mlp
+from graphs4cfd_tpu.ops.pallas_gnblock import gn_block_fused
+
+
+@pytest.mark.parametrize("widths,ln,start", [
+    ((128, 128, 128), True, 0),
+    ((128, 128, 128), False, 0),
+    ((128, 128), True, 0),
+    ((128, 128, 128), True, 1),
+])
+def test_fused_mlp_matches_xla(rng, widths, ln, start):
+    params = init_mlp(jax.random.key(1), 256, widths, ln)
+    fin = 256 if start == 0 else widths[0]
+    x = jnp.asarray(rng.normal(size=(512, fin)).astype(np.float32))
+    ref_fn = lambda p, x: apply_mlp_tail(p, x, start=start)
+    fus_fn = lambda p, x: fused_mlp(p, x, start=start, interpret=True,
+                                    block=256)
+    np.testing.assert_allclose(np.asarray(fus_fn(params, x)),
+                               np.asarray(ref_fn(params, x)),
+                               rtol=1e-4, atol=1e-5)
+    g = jnp.asarray(rng.normal(size=(512, widths[-1])).astype(np.float32))
+    rg = jax.grad(lambda p, x: (ref_fn(p, x) * g).sum(),
+                  argnums=(0, 1))(params, x)
+    fg = jax.grad(lambda p, x: (fus_fn(p, x) * g).sum(),
+                  argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(rg),
+                    jax.tree_util.tree_leaves(fg)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_fused_gn_block_matches_xla(rng):
+    V, k, H = 512, 4, 128
+    v = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(V * k, H)).astype(np.float32))
+    senders = jnp.asarray(rng.integers(0, V, size=V * k).astype(np.int32))
+    receivers = jnp.asarray(np.repeat(np.arange(V, dtype=np.int32), k))
+    params = {"edge_mlp": init_mlp(jax.random.key(0), 3 * H, (H, H, H), True),
+              "node_mlp": init_mlp(jax.random.key(1), 2 * H, (H, H, H), True)}
+    rv, re = blocks.gn_block(params, v, e, senders, receivers, fixed_k=k)
+    w1 = params["edge_mlp"]["layers"][0]["w"]
+
+    def fused(p, v, e):
+        vsg = (v @ p["edge_mlp"]["layers"][0]["w"][H:2 * H])[senders]
+        e2, v2 = gn_block_fused(p["edge_mlp"], p["node_mlp"], e, vsg, v, k,
+                                block=256, interpret=True)
+        return v2, e2
+
+    fv, fe = fused(params, v, e)
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(rv),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fe), np.asarray(re),
+                               rtol=1e-4, atol=1e-5)
+
+    g_v = jnp.asarray(rng.normal(size=rv.shape).astype(np.float32))
+    g_e = jnp.asarray(rng.normal(size=re.shape).astype(np.float32))
+
+    def loss_ref(p, v, e):
+        rv, re = blocks.gn_block(p, v, e, senders, receivers, fixed_k=k)
+        return (rv * g_v).sum() + (re * g_e).sum()
+
+    def loss_fused(p, v, e):
+        v2, e2 = fused(p, v, e)
+        return (v2 * g_v).sum() + (e2 * g_e).sum()
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(params, v, e)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(params, v, e)
+    for a, b in zip(jax.tree_util.tree_leaves(gr),
+                    jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=5e-4)
