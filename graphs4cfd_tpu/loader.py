@@ -268,7 +268,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  transform: Optional[Callable] = None,
                  node_bucket: int = 64, edge_bucket: int = 128,
-                 seed: int = 0, drop_last: bool = False, **_ignored):
+                 seed: int = 0, drop_last: bool = False,
+                 num_workers: int = 0, prefetch: int = 2, **_ignored):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -276,6 +277,8 @@ class DataLoader:
         self.node_bucket = node_bucket
         self.edge_bucket = edge_bucket
         self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -283,7 +286,13 @@ class DataLoader:
         return (n // self.batch_size if self.drop_last
                 else math.ceil(n / self.batch_size))
 
-    def __iter__(self):
+    def _make_batch(self, idx):
+        gs = [self.dataset[int(i)] for i in idx]
+        if self.transform is not None:
+            gs = [self.transform(g) for g in gs]
+        return collate(gs, self.node_bucket, self.edge_bucket)
+
+    def _index_batches(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
@@ -291,7 +300,30 @@ class DataLoader:
             idx = order[start:start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
-            gs = [self.dataset[int(i)] for i in idx]
-            if self.transform is not None:
-                gs = [self.transform(g) for g in gs]
-            yield collate(gs, self.node_bucket, self.edge_bucket)
+            yield idx
+
+    def __iter__(self):
+        if self.num_workers <= 0:
+            for idx in self._index_batches():
+                yield self._make_batch(idx)
+            return
+        # thread-pool prefetch: overlaps host graph construction (NumPy/C++
+        # kernels release the GIL for the heavy parts) with device compute —
+        # the reference's num_workers=4 subprocess analogue
+        from concurrent.futures import ThreadPoolExecutor
+        import collections
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = collections.deque()
+            it = self._index_batches()
+            try:
+                for _ in range(max(1, self.prefetch) * self.num_workers):
+                    pending.append(pool.submit(self._make_batch, next(it)))
+            except StopIteration:
+                it = iter(())
+            while pending:
+                batch = pending.popleft().result()
+                try:
+                    pending.append(pool.submit(self._make_batch, next(it)))
+                except StopIteration:
+                    pass
+                yield batch
