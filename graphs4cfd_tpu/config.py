@@ -9,6 +9,19 @@ import os
 use_pallas = None
 
 
+def ablation() -> str:
+    """Profiling-only ablation switch (GRAPHS4CFD_ABLATE).
+
+    Recognised values (see BASELINE.md ledger; numerics become WRONG, use
+    only to attribute step time):
+
+    * ``zero_vsg``   — drop the sender projection+gather path entirely.
+    * ``bcast_vsg``  — replace the random sender gather with a contiguous
+      broadcast (keeps all FLOPs/bytes except the index randomness).
+    """
+    return os.environ.get("GRAPHS4CFD_ABLATE", "")
+
+
 def pallas_enabled() -> bool:
     global use_pallas
     if use_pallas is None:

@@ -81,12 +81,20 @@ def gn_block(params: dict,
              aggr: str = "mean",
              edge_mask: Optional[jnp.ndarray] = None,
              sender_sort=None,
-             compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+             compute_dtype=jnp.float32,
+             out_activation: Optional[str] = None) -> Tuple[jnp.ndarray,
+                                                            jnp.ndarray]:
     """One message-passing step: edge update → aggregate → node update.
 
     Matches ``GNBlock.forward`` (``blocks.py:175-186``): the edge MLP sees
     ``[e, v_sender, v_receiver]``, messages are mean-aggregated onto
     receivers, the node MLP sees ``[aggr, v]``.  Returns ``(v', e')``.
+
+    ``out_activation='selu'`` applies the engines' inter-layer SELU to both
+    outputs (``mus_gnn.py:320-366``) — inside the Pallas kernel on the
+    fused path (saving an HBM roundtrip of both outputs per layer), as a
+    trailing XLA-fused op otherwise.  Aggregation always consumes the
+    pre-activation edge state, exactly as in the reference.
     """
     num_nodes = v.shape[0]
     if fixed_k is not None and aggr == "mean" and edge_mask is None:
@@ -101,7 +109,16 @@ def gn_block(params: dict,
                 w1 = params["edge_mlp"]["layers"][0]["w"]
                 fe, fv = e.shape[-1], v.shape[-1]
                 vs = (v.astype(cd) @ w1[fe:fe + fv].astype(cd)).astype(act)
-                if sender_sort is not None:
+                from ..config import ablation
+                ab = ablation()
+                if ab == "zero_vsg":       # profiling only — wrong numerics
+                    vsg = jnp.zeros((e.shape[0], vs.shape[-1]), vs.dtype)
+                elif ab == "bcast_vsg":    # profiling only — wrong numerics
+                    vsg = jnp.broadcast_to(
+                        vs[:, None, :],
+                        (vs.shape[0], fixed_k, vs.shape[-1])
+                    ).reshape(e.shape[0], vs.shape[-1])
+                elif sender_sort is not None:
                     from ..ops.segment import gather_sorted_bwd
                     vsg = gather_sorted_bwd(vs, senders, *sender_sort)
                 else:
@@ -109,7 +126,8 @@ def gn_block(params: dict,
                 interpret = jax.default_backend() != "tpu"
                 e_new, v_new = pg.gn_block_fused(
                     params["edge_mlp"], params["node_mlp"], e, vsg, v,
-                    fixed_k, compute_dtype=cd, interpret=interpret)
+                    fixed_k, compute_dtype=cd, interpret=interpret,
+                    out_activation=out_activation)
                 return v_new, e_new
     h = _edge_first_layer(params["edge_mlp"], e, v, senders, receivers,
                           compute_dtype, fixed_k=fixed_k,
@@ -135,6 +153,8 @@ def gn_block(params: dict,
         + (v.astype(cd) @ nw1[fa:]).astype(act) + nlyr["b"].astype(act)
     v_new = apply_mlp_tail(params["node_mlp"], hn, start=1,
                            compute_dtype=cd)
+    if out_activation == "selu":
+        v_new, e_new = jax.nn.selu(v_new), jax.nn.selu(e_new)
     return v_new, e_new
 
 

@@ -69,10 +69,13 @@ def mugs_apply(params: dict, graph: Graph, plan, num_fields: int,
                    else graph.get(f"fixed_k_{lvl}"))
 
         def one(p, v, e_l):
+            # inter-layer SELU fused into the block (kernel-side on the
+            # fixed-k Pallas path)
             v, e_l = gn_block(p, v, e_l, graph.data[f"senders{suffix}"],
                               graph.data[f"receivers{suffix}"],
-                              fixed_k=fixed_k, compute_dtype=cd)
-            return _selu(v), _selu(e_l)
+                              fixed_k=fixed_k, compute_dtype=cd,
+                              out_activation="selu")
+            return v, e_l
 
         trees = [params[n] for n in names]
         structs = {jax.tree_util.tree_structure(t) for t in trees}

@@ -83,17 +83,19 @@ def mus_apply(params: dict, graph: Graph, plan, num_fields: int,
         layers per level), shrinking the HLO ~4x — a large compile-time win
         on TPU with no numeric change."""
         def one(name_params, v, e):
+            # inter-layer SELU (mus_gnn.py:320-366) fused into the block
             if level == 1:
                 v, e = gn_block(name_params, v, e, graph.senders,
                                 graph.receivers, fixed_k=fixed_k,
-                                sender_sort=sender_sort, compute_dtype=cd)
+                                sender_sort=sender_sort, compute_dtype=cd,
+                                out_activation="selu")
             else:
                 v, e = gn_block(name_params, v, e,
                                 graph.data[f"senders_{level}"],
                                 graph.data[f"receivers_{level}"],
                                 edge_mask=graph.data[f"edge_mask_{level}"],
-                                compute_dtype=cd)
-            return _selu(v), _selu(e)
+                                compute_dtype=cd, out_activation="selu")
+            return v, e
 
         trees = [params[n] for n in names]
         structs = {jax.tree_util.tree_structure(t) for t in trees}

@@ -72,9 +72,18 @@ def _chain_backward(da, x_first, preacts, ws, bs, sws, sbs,
     return da
 
 
-def _fwd_math(e, vsg, v, k, ew, eb, eln, nw, nb, nln, save=False):
+def _fwd_math(e, vsg, v, k, ew, eb, eln, nw, nb, nln, save=False,
+              out_selu=False):
     """Shared forward math on one block. Returns e_new, v_new (+ residual
-    intermediates when ``save``)."""
+    intermediates when ``save``; the saved values are pre-SELU so the
+    backward can form the activation derivative).
+
+    ``out_selu`` fuses the engines' inter-layer SELU
+    (``mus_gnn.py:320-366``: SELU after every MP layer) into the kernel —
+    aggregation still consumes the *pre*-SELU edge state, only the block
+    outputs are activated.  Without the fusion the activation is a
+    separate XLA pass that re-reads and re-writes both outputs from HBM
+    (pallas_call is an opaque fusion barrier)."""
     Eb = e.shape[0]
     B = Eb // k
     # first edge layer (We is ew[0][:Fe], Wr is ew[0][Fe:])
@@ -102,6 +111,8 @@ def _fwd_math(e, vsg, v, k, ew, eb, eln, nw, nb, nln, save=False):
     else:
         v_new, n_xhat, n_rstd = v_pre, None, None
     if not save:
+        if out_selu:
+            return _selu(e_new), _selu(v_new)
         return e_new, v_new
     return (e_new, v_new, h1, e_preacts, e_xhat, e_rstd, aggr, hn,
             n_preacts, n_xhat, n_rstd)
@@ -118,20 +129,21 @@ def _split(flat, n_e, n_n, has_eln, has_nln):
     return ew, eb, eln, nw, nb, nln
 
 
-def _make_fwd_kernel(n_e, n_n, has_eln, has_nln, k, out_dtype):
+def _make_fwd_kernel(n_e, n_n, has_eln, has_nln, k, out_dtype, out_selu):
     def kernel(*refs):
         e_ref, vsg_ref, v_ref = refs[0], refs[1], refs[2]
         flat = [r[:] for r in refs[3:-2]]
         e_out, v_out = refs[-2], refs[-1]
         ew, eb, eln, nw, nb, nln = _split(flat, n_e, n_n, has_eln, has_nln)
         e_new, v_new = _fwd_math(e_ref[:], vsg_ref[:], v_ref[:], k,
-                                 ew, eb, eln, nw, nb, nln)
+                                 ew, eb, eln, nw, nb, nln,
+                                 out_selu=out_selu)
         e_out[:] = e_new.astype(out_dtype)
         v_out[:] = v_new.astype(out_dtype)
     return kernel
 
 
-def _make_bwd_kernel(n_e, n_n, has_eln, has_nln, k, in_dtype):
+def _make_bwd_kernel(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu):
     n_params = 2 * n_e + 2 * n_n + (2 if has_eln else 0) \
         + (2 if has_nln else 0)
 
@@ -170,6 +182,11 @@ def _make_bwd_kernel(n_e, n_n, has_eln, has_nln, k, in_dtype):
         B = Eb // k
         gv = gv_ref[:].astype(jnp.float32)
         ge = ge_ref[:].astype(jnp.float32)
+        if out_selu:
+            # cotangents arrive w.r.t. selu(outputs); e_new/v_new from the
+            # recompute are the pre-SELU values.
+            gv = gv * _dselu(v_new)
+            ge = ge * _dselu(e_new)
 
         # ---- node chain backward -----------------------------------------
         if has_nln:
@@ -231,11 +248,12 @@ def _make_bwd_kernel(n_e, n_n, has_eln, has_nln, k, in_dtype):
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _gn_fused(e, vsg, v, flat_params, n_e, n_n, has_eln, has_nln, k, block,
-              interpret):
+              interpret, out_selu):
     return _gn_fused_fwd_impl(e, vsg, v, flat_params, n_e, n_n, has_eln,
-                              has_nln, k, block, interpret)
+                              has_nln, k, block, interpret, out_selu)
 
 
 def _common_specs(e, vsg, v, flat_params, k, block):
@@ -257,10 +275,11 @@ def _common_specs(e, vsg, v, flat_params, k, block):
 
 
 def _gn_fused_fwd_impl(e, vsg, v, flat_params, n_e, n_n, has_eln, has_nln,
-                       k, block, interpret):
+                       k, block, interpret, out_selu):
     grid = (v.shape[0] // block,)
     in_specs, Eb, H = _common_specs(e, vsg, v, flat_params, k, block)
-    kernel = _make_fwd_kernel(n_e, n_n, has_eln, has_nln, k, e.dtype)
+    kernel = _make_fwd_kernel(n_e, n_n, has_eln, has_nln, k, e.dtype,
+                              out_selu)
     e_new, v_new = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs,
         out_specs=(pl.BlockSpec((Eb, H), lambda i: (i, 0),
@@ -275,13 +294,14 @@ def _gn_fused_fwd_impl(e, vsg, v, flat_params, n_e, n_n, has_eln, has_nln,
 
 
 def _gn_vjp_fwd(e, vsg, v, flat_params, n_e, n_n, has_eln, has_nln, k,
-                block, interpret):
+                block, interpret, out_selu):
     out = _gn_fused_fwd_impl(e, vsg, v, flat_params, n_e, n_n, has_eln,
-                             has_nln, k, block, interpret)
+                             has_nln, k, block, interpret, out_selu)
     return out, (e, vsg, v, flat_params)
 
 
-def _gn_vjp_bwd(n_e, n_n, has_eln, has_nln, k, block, interpret, res, g):
+def _gn_vjp_bwd(n_e, n_n, has_eln, has_nln, k, block, interpret, out_selu,
+                res, g):
     e, vsg, v, flat_params = res
     ge, gv = g
     grid = (v.shape[0] // block,)
@@ -307,7 +327,8 @@ def _gn_vjp_bwd(n_e, n_n, has_eln, has_nln, k, block, interpret, res, g):
         out_specs.append(pl.BlockSpec(p.shape, inv2,
                                       memory_space=pltpu.VMEM))
     scratch = [pltpu.VMEM(p.shape, jnp.float32) for p in flat_params]
-    kernel = _make_bwd_kernel(n_e, n_n, has_eln, has_nln, k, e.dtype)
+    kernel = _make_bwd_kernel(n_e, n_n, has_eln, has_nln, k, e.dtype,
+                              out_selu)
     outs = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes), scratch_shapes=scratch,
@@ -335,14 +356,18 @@ def supports(edge_mlp: dict, node_mlp: dict, num_nodes: int, fe: int,
 def gn_block_fused(edge_mlp: dict, node_mlp: dict, e, vsg, v, k: int, *,
                    compute_dtype=jnp.float32,
                    block: int = DEFAULT_NODE_BLOCK,
-                   interpret: bool = False) -> Tuple[jnp.ndarray,
-                                                     jnp.ndarray]:
+                   interpret: bool = False,
+                   out_activation: str = None) -> Tuple[jnp.ndarray,
+                                                        jnp.ndarray]:
     """Run the fused GN block.
 
     ``vsg`` is the pre-gathered sender projection ``(v@Ws)[senders]``;
     the edge-MLP first-layer weight passed to the kernel is ``[We; Wr]``
-    (the Ws rows are consumed outside).
+    (the Ws rows are consumed outside).  ``out_activation='selu'`` fuses
+    the engines' inter-layer SELU into the kernel outputs.
     """
+    if out_activation not in (None, "selu"):
+        raise ValueError(f"unsupported out_activation {out_activation!r}")
     cd = compute_dtype
     act = cd if cd != jnp.float32 else jnp.float32
     fe = e.shape[-1]
@@ -365,4 +390,4 @@ def gn_block_fused(edge_mlp: dict, node_mlp: dict, e, vsg, v, k: int, *,
     flat = (*ew, *eb, *eln, *nw, *nb, *nln)
     return _gn_fused(e.astype(act), vsg.astype(act), v.astype(act), flat,
                      len(ew), len(nw), bool(eln), bool(nln), k, block,
-                     interpret)
+                     interpret, out_activation == "selu")

@@ -14,6 +14,7 @@ from .noise import AddUniformNoise
 from .geometric import (RandomGraphRotation, GraphRotation, RandomGraphFlip,
                         rotate_graph, flip_graph_dim)
 from .subset import NodeSubset, RandomNodeSubset
+from .order import SpatialSort
 
 __all__ = [
     "ConnectKNN", "GridClustering", "GuillardCoarseningAndConnectKNN",
@@ -22,4 +23,5 @@ __all__ = [
     "ScaleEdgeAttr", "ScaleNs", "scale_edges", "AddUniformNoise",
     "RandomGraphRotation", "GraphRotation", "RandomGraphFlip",
     "rotate_graph", "flip_graph_dim", "NodeSubset", "RandomNodeSubset",
+    "SpatialSort",
 ]

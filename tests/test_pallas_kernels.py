@@ -42,7 +42,8 @@ def test_fused_mlp_matches_xla(rng, widths, ln, start):
                                    rtol=2e-3, atol=2e-4)
 
 
-def test_fused_gn_block_matches_xla(rng):
+@pytest.mark.parametrize("out_act", [None, "selu"])
+def test_fused_gn_block_matches_xla(rng, out_act):
     V, k, H = 512, 4, 128
     v = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32))
     e = jnp.asarray(rng.normal(size=(V * k, H)).astype(np.float32))
@@ -51,12 +52,15 @@ def test_fused_gn_block_matches_xla(rng):
     params = {"edge_mlp": init_mlp(jax.random.key(0), 3 * H, (H, H, H), True),
               "node_mlp": init_mlp(jax.random.key(1), 2 * H, (H, H, H), True)}
     rv, re = blocks.gn_block(params, v, e, senders, receivers, fixed_k=k)
+    if out_act == "selu":
+        rv, re = jax.nn.selu(rv), jax.nn.selu(re)
     w1 = params["edge_mlp"]["layers"][0]["w"]
 
     def fused(p, v, e):
         vsg = (v @ p["edge_mlp"]["layers"][0]["w"][H:2 * H])[senders]
         e2, v2 = gn_block_fused(p["edge_mlp"], p["node_mlp"], e, vsg, v, k,
-                                block=256, interpret=True)
+                                block=256, interpret=True,
+                                out_activation=out_act)
         return v2, e2
 
     fv, fe = fused(params, v, e)
@@ -70,6 +74,8 @@ def test_fused_gn_block_matches_xla(rng):
 
     def loss_ref(p, v, e):
         rv, re = blocks.gn_block(p, v, e, senders, receivers, fixed_k=k)
+        if out_act == "selu":
+            rv, re = jax.nn.selu(rv), jax.nn.selu(re)
         return (rv * g_v).sum() + (re * g_e).sum()
 
     def loss_fused(p, v, e):

@@ -104,3 +104,39 @@ def test_compose_order(rng):
     t2 = lambda g: (calls.append(2), g)[1]
     Compose([t1, t2])(Graph())
     assert calls == [1, 2]
+
+
+def test_spatial_sort(rng):
+    """Morton renumbering: a permutation that clusters neighbours and
+    leaves (pos, field) rows consistently co-permuted."""
+    from graphs4cfd_tpu.ops.order import morton_code, spatial_sort_perm
+    g = _ns_graph(rng, n=256)
+    pos0, field0 = np.array(g.pos), np.array(g.field)
+    T.SpatialSort()(g)
+    # it's a permutation of the original rows
+    perm = spatial_sort_perm(pos0)
+    np.testing.assert_allclose(g.pos, pos0[perm])
+    np.testing.assert_allclose(g.field, field0[perm])
+    # Morton keys are non-decreasing after the sort
+    keys = morton_code(np.asarray(g.pos))
+    assert (np.diff(keys.astype(np.int64)) >= 0).all()
+    # locality: mean distance between consecutive nodes shrinks a lot
+    d_before = np.linalg.norm(np.diff(pos0, axis=0), axis=1).mean()
+    d_after = np.linalg.norm(np.diff(np.asarray(g.pos), axis=0),
+                             axis=1).mean()
+    assert d_after < 0.5 * d_before
+    # must come before connectivity
+    g2 = _ns_graph(rng)
+    T.ConnectKNN(k=4)(g2)
+    with pytest.raises(AssertionError):
+        T.SpatialSort()(g2)
+
+
+def test_morton_3d(rng):
+    from graphs4cfd_tpu.ops.order import spatial_sort_perm
+    pos = rng.random((128, 3)).astype(np.float32)
+    perm = spatial_sort_perm(pos)
+    assert sorted(perm.tolist()) == list(range(128))
+    d_before = np.linalg.norm(np.diff(pos, axis=0), axis=1).mean()
+    d_after = np.linalg.norm(np.diff(pos[perm], axis=0), axis=1).mean()
+    assert d_after < d_before
