@@ -83,6 +83,39 @@ def _round_up(n: int, mult: int) -> int:
     return mult * math.ceil(n / mult) if mult > 1 else n
 
 
+def _add_window_gather_plan(out: dict, num_nodes: int, k: int,
+                            exc_pad: Optional[int] = None) -> None:
+    """Attach the windowed-gather plan for the level-1 sender gather.
+
+    Enables the one-hot MXU gather (``ops.pallas_gather``) on the MP hot
+    path; profiling showed XLA's dynamic row gather costs ~43% of the MuS
+    train step (BASELINE.md).  Skipped (XLA fallback) when shapes don't
+    fit or node numbering isn't spatially sorted (high miss rate).
+    """
+    import os
+    from .ops.window_plan import build_window_gather_plan
+    window = int(os.environ.get("GRAPHS4CFD_GATHER_WINDOW", "1024"))
+    E = out["senders"].shape[0]
+    b = 256
+    while b > 1 and num_nodes % b:
+        b //= 2
+    block_rows = k * b
+    if num_nodes < window or E % block_rows:
+        return
+    kwargs = {} if exc_pad is None else {"min_exc_pad": exc_pad}
+    plan = build_window_gather_plan(out["senders"], num_nodes,
+                                    block_rows=block_rows, window=window,
+                                    **kwargs)
+    if plan is None:
+        return
+    out["wg_starts"] = plan.starts
+    out["wg_lidx"] = plan.lidx
+    out["wg_exc_pos"] = plan.exc_pos
+    out["wg_exc_idx"] = plan.exc_idx
+    out["wg_window"] = plan.window
+    out["wg_block_rows"] = plan.block_rows
+
+
 def collate(graphs: Sequence[Graph],
             node_bucket: int = 64,
             edge_bucket: int = 128) -> Graph:
@@ -192,6 +225,9 @@ def collate(graphs: Sequence[Graph],
                        dtype=np.int32)])
     out["num_graphs"] = len(graphs)
     out.update(static)
+    if static.get("fixed_k") is not None and "senders" in out:
+        _add_window_gather_plan(out, padded[("node", 1)],
+                                static["fixed_k"])
     return Graph(data=out)
 
 
@@ -210,6 +246,11 @@ def collate_sharded(graphs: Sequence[Graph], num_shards: int,
         f"batch size {len(graphs)} not divisible by {num_shards} shards"
     groups = [list(graphs[i::num_shards]) for i in range(num_shards)]
     shards = [collate(g, node_bucket, edge_bucket) for g in groups]
+    # per-shard gather plans go stale once shards are re-padded below (and
+    # their exception buffers may differ in size) — rebuild them afterwards
+    for s in shards:
+        for key in [k for k in s.data if k.startswith("wg_")]:
+            del s.data[key]
     # pad every shard to the max padded size per key
     out = {}
     keys = shards[0].data.keys()
@@ -252,6 +293,28 @@ def collate_sharded(graphs: Sequence[Graph], num_shards: int,
                 v = np.concatenate([v, fill], axis=0)
             padded_vals.append(v)
         out[key] = np.stack(padded_vals, axis=0)
+    # rebuild gather plans per shard on the final padded senders, with a
+    # common exception-buffer size so the shard arrays stack
+    fixed_k = out.get("fixed_k", shards[0].data.get("fixed_k"))
+    if fixed_k is not None and "senders" in out:
+        num_nodes = out["node_mask"].shape[1]
+        per_shard = []
+        for i in range(num_shards):
+            d = {"senders": out["senders"][i]}
+            _add_window_gather_plan(d, num_nodes, fixed_k)
+            per_shard.append(d)
+        if all("wg_starts" in d for d in per_shard):
+            exc_pad = max(d["wg_exc_pos"].shape[0] for d in per_shard)
+            per_shard = []
+            for i in range(num_shards):
+                d = {"senders": out["senders"][i]}
+                _add_window_gather_plan(d, num_nodes, fixed_k,
+                                        exc_pad=exc_pad)
+                per_shard.append(d)
+            for key in ("wg_starts", "wg_lidx", "wg_exc_pos", "wg_exc_idx"):
+                out[key] = np.stack([d[key] for d in per_shard], axis=0)
+            out["wg_window"] = per_shard[0]["wg_window"]
+            out["wg_block_rows"] = per_shard[0]["wg_block_rows"]
     return Graph(data=out)
 
 

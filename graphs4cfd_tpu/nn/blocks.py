@@ -32,9 +32,46 @@ from ..ops.segment import segment_mean, segment_sum, aggregate_fixed_k
 from .mlp import apply_mlp, apply_mlp_tail
 
 
+def window_plan_of(graph):
+    """Extract the level-1 windowed-gather plan attached by ``loader.collate``
+    (None when absent → XLA gather fallback)."""
+    if not graph.has("wg_starts"):
+        return None
+    d = graph.data
+    return (d["wg_starts"], d["wg_lidx"], d["wg_exc_pos"], d["wg_exc_idx"],
+            d["wg_window"], d["wg_block_rows"])
+
+
+def _sender_gather(vs, senders, sender_sort, window_plan):
+    """Gather sender projections; prefers the windowed one-hot MXU kernel
+    (``ops.pallas_gather``) — XLA's dynamic row gather costs ~57 ns/row on
+    TPU and was ~43% of the MuS train step (BASELINE.md ledger)."""
+    from ..config import ablation
+    ab = ablation()
+    if ab == "zero_vsg":           # profiling only — wrong numerics
+        E = senders.shape[0]
+        return jnp.zeros((E, vs.shape[-1]), vs.dtype)
+    if ab == "bcast_vsg":          # profiling only — wrong numerics
+        E = senders.shape[0]
+        k = E // vs.shape[0]
+        return jnp.broadcast_to(
+            vs[:, None, :], (vs.shape[0], k, vs.shape[-1])
+        ).reshape(E, vs.shape[-1])
+    if window_plan is not None:
+        from ..ops import pallas_gather as pg
+        window, block_rows = int(window_plan[4]), int(window_plan[5])
+        if pg.supports(vs.shape[0], senders.shape[0], window, block_rows):
+            interpret = jax.default_backend() != "tpu"
+            return pg.windowed_take(vs, window_plan, interpret=interpret)
+    if sender_sort is not None:
+        from ..ops.segment import gather_sorted_bwd
+        return gather_sorted_bwd(vs, senders, *sender_sort)
+    return vs[senders]
+
+
 def _edge_first_layer(edge_mlp: dict, e, v, senders, receivers,
                       compute_dtype, fixed_k: Optional[int] = None,
-                      sender_sort=None):
+                      sender_sort=None, window_plan=None):
     """First edge-MLP layer with the gather fused *after* the matmul.
 
     ``W1 @ concat(e, v[s], v[r])`` ≡ ``e@We + (v@Ws)[s] + (v@Wr)[r]`` with
@@ -56,11 +93,7 @@ def _edge_first_layer(edge_mlp: dict, e, v, senders, receivers,
     vc = v.astype(cd)
     h = (e.astype(cd) @ we).astype(act)
     vs = (vc @ ws).astype(act)
-    if sender_sort is not None:
-        from ..ops.segment import gather_sorted_bwd
-        h = h + gather_sorted_bwd(vs, senders, *sender_sort)
-    else:
-        h = h + vs[senders]
+    h = h + _sender_gather(vs, senders, sender_sort, window_plan)
     vr = (vc @ wr).astype(act)
     if fixed_k is not None:
         V, H = vr.shape
@@ -82,8 +115,8 @@ def gn_block(params: dict,
              edge_mask: Optional[jnp.ndarray] = None,
              sender_sort=None,
              compute_dtype=jnp.float32,
-             out_activation: Optional[str] = None) -> Tuple[jnp.ndarray,
-                                                            jnp.ndarray]:
+             out_activation: Optional[str] = None,
+             window_plan=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One message-passing step: edge update → aggregate → node update.
 
     Matches ``GNBlock.forward`` (``blocks.py:175-186``): the edge MLP sees
@@ -109,20 +142,7 @@ def gn_block(params: dict,
                 w1 = params["edge_mlp"]["layers"][0]["w"]
                 fe, fv = e.shape[-1], v.shape[-1]
                 vs = (v.astype(cd) @ w1[fe:fe + fv].astype(cd)).astype(act)
-                from ..config import ablation
-                ab = ablation()
-                if ab == "zero_vsg":       # profiling only — wrong numerics
-                    vsg = jnp.zeros((e.shape[0], vs.shape[-1]), vs.dtype)
-                elif ab == "bcast_vsg":    # profiling only — wrong numerics
-                    vsg = jnp.broadcast_to(
-                        vs[:, None, :],
-                        (vs.shape[0], fixed_k, vs.shape[-1])
-                    ).reshape(e.shape[0], vs.shape[-1])
-                elif sender_sort is not None:
-                    from ..ops.segment import gather_sorted_bwd
-                    vsg = gather_sorted_bwd(vs, senders, *sender_sort)
-                else:
-                    vsg = vs[senders]
+                vsg = _sender_gather(vs, senders, sender_sort, window_plan)
                 interpret = jax.default_backend() != "tpu"
                 e_new, v_new = pg.gn_block_fused(
                     params["edge_mlp"], params["node_mlp"], e, vsg, v,
@@ -131,7 +151,7 @@ def gn_block(params: dict,
                 return v_new, e_new
     h = _edge_first_layer(params["edge_mlp"], e, v, senders, receivers,
                           compute_dtype, fixed_k=fixed_k,
-                          sender_sort=sender_sort)
+                          sender_sort=sender_sort, window_plan=window_plan)
     e_new = apply_mlp_tail(params["edge_mlp"], h, start=1,
                            compute_dtype=compute_dtype)
     if fixed_k is not None:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..graph import Graph
 from ..ops.interp import knn_interpolate
-from .blocks import gn_block
+from .blocks import gn_block, window_plan_of as _window_plan_of
 from .mlp import apply_mlp
 from .model import GNN
 
@@ -70,11 +70,14 @@ def mugs_apply(params: dict, graph: Graph, plan, num_fields: int,
 
         def one(p, v, e_l):
             # inter-layer SELU fused into the block (kernel-side on the
-            # fixed-k Pallas path)
+            # fixed-k Pallas path); level-1 sender gather goes through the
+            # windowed MXU plan when the loader attached one
             v, e_l = gn_block(p, v, e_l, graph.data[f"senders{suffix}"],
                               graph.data[f"receivers{suffix}"],
                               fixed_k=fixed_k, compute_dtype=cd,
-                              out_activation="selu")
+                              out_activation="selu",
+                              window_plan=(_window_plan_of(graph)
+                                           if lvl == 1 else None))
             return v, e_l
 
         trees = [params[n] for n in names]

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from ..graph import Graph
-from .blocks import gn_block, down_mp, up_mp, pool_edges
+from .blocks import (gn_block, down_mp, up_mp, pool_edges,
+                     window_plan_of as _window_plan_of)
 from .model import GNN
 
 _selu = jax.nn.selu
@@ -76,6 +77,7 @@ def mus_apply(params: dict, graph: Graph, plan, num_fields: int,
     sender_sort = (
         (graph.data["sender_perm"], graph.data["sender_sorted"])
         if graph.has("sender_perm") else None)
+    window_plan = _window_plan_of(graph)
 
     def run_mp_group(names, v, e, level):
         """Run consecutive same-level MP layers; identical-shape runs fold
@@ -88,7 +90,8 @@ def mus_apply(params: dict, graph: Graph, plan, num_fields: int,
                 v, e = gn_block(name_params, v, e, graph.senders,
                                 graph.receivers, fixed_k=fixed_k,
                                 sender_sort=sender_sort, compute_dtype=cd,
-                                out_activation="selu")
+                                out_activation="selu",
+                                window_plan=window_plan)
             else:
                 v, e = gn_block(name_params, v, e,
                                 graph.data[f"senders_{level}"],

@@ -1,0 +1,113 @@
+"""Host-side plan for the windowed one-hot MXU gather.
+
+Profiling on TPU v5e (BASELINE.md ledger) showed XLA's dynamic row gather
+pays a fixed per-row penalty (~57 ns/row, independent of index locality),
+making the two per-MP-layer gathers (forward ``vs[senders]`` and the
+backward permute-gather) ~43% of the whole MuS-GNN train step.  The fix:
+with Morton-renumbered nodes (``transforms.SpatialSort``) the senders of a
+receiver-sorted edge block fall into a narrow index window, so the gather
+can be computed as ``one_hot(local_idx) @ table_window`` on the MXU inside
+a Pallas kernel (``ops.pallas_gather``) — no dynamic indexing at all.
+
+This module builds the static plan on host (NumPy):
+
+* per edge-block window start into the node table (block-median centred);
+* per edge local index within its block's window (= ``window`` ⇒ miss);
+* a padded exception list (edge position, node index) for out-of-window
+  senders, patched in/out by small XLA gathers around the kernel.
+
+The plan depends only on topology and is built once per collated batch.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class WindowGatherPlan(NamedTuple):
+    starts: np.ndarray    # [num_blocks] int32 — window start row per block
+    lidx: np.ndarray      # [M, 1] int32 — index-start, or =window for miss
+    exc_pos: np.ndarray   # [P] int32 — edge positions of misses (pad: M)
+    exc_idx: np.ndarray   # [P] int32 — node indices of misses (pad: N)
+    window: int           # static window width (rows)
+    block_rows: int       # static rows per kernel block
+
+
+def _ceil_pow2(n: int, lo: int) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+def build_window_gather_plan(indices: np.ndarray,
+                             num_rows: int,
+                             *,
+                             block_rows: int = 1536,
+                             window: int = 1024,
+                             max_miss_frac: float = 0.25,
+                             min_exc_pad: int = 256
+                             ) -> Optional[WindowGatherPlan]:
+    """Plan ``table[indices]`` as blockwise windowed one-hot matmuls.
+
+    ``indices``: int array [M] of rows into a [num_rows, H] table.  Returns
+    None when the layout doesn't fit (M not divisible by ``block_rows``) or
+    the miss rate exceeds ``max_miss_frac`` (nodes not spatially sorted —
+    the XLA gather fallback is then the better choice).
+    """
+    idx = np.asarray(indices, dtype=np.int64).ravel()
+    M = idx.shape[0]
+    if M == 0 or M % block_rows or num_rows % 8 or window % 8:
+        return None
+    nblocks = M // block_rows
+    blocks = idx.reshape(nblocks, block_rows)
+    # median-centred window, clamped to the table; starts are rounded to
+    # sublane multiples (8) so the kernel's dynamic DMA slice is provably
+    # tile-aligned for Mosaic
+    med = np.median(blocks, axis=1).astype(np.int64)
+    starts = np.clip(med - window // 2, 0,
+                     max(num_rows - window, 0)).astype(np.int64)
+    starts &= ~np.int64(7)
+    local = blocks - starts[:, None]
+    miss = (local < 0) | (local >= window)
+    n_miss = int(miss.sum())
+    if n_miss > max_miss_frac * M:
+        return None
+    local = np.where(miss, window, local).reshape(M)
+    flat_miss = miss.reshape(M)
+    exc_pos = np.nonzero(flat_miss)[0].astype(np.int64)
+    exc_idx = idx[exc_pos]
+    P = _ceil_pow2(max(len(exc_pos), 1), min_exc_pad)
+    pad = P - len(exc_pos)
+    # pad positions point one-past-the-end (dropped by scatter mode='drop');
+    # pad node indices point one-past-the-end (dropped by segment_sum)
+    exc_pos = np.concatenate([exc_pos, np.full(pad, M, np.int64)])
+    exc_idx = np.concatenate([exc_idx, np.full(pad, num_rows, np.int64)])
+    return WindowGatherPlan(
+        starts=starts.astype(np.int32),
+        lidx=local.astype(np.int32).reshape(M, 1),
+        exc_pos=exc_pos.astype(np.int32),
+        exc_idx=exc_idx.astype(np.int32),
+        window=window,
+        block_rows=block_rows,
+    )
+
+
+def apply_plan_numpy(table: np.ndarray, plan: WindowGatherPlan) -> np.ndarray:
+    """Reference executor (for tests): must equal ``table[indices]``."""
+    M = plan.lidx.shape[0]
+    nblocks = M // plan.block_rows
+    out = np.zeros((M, table.shape[1]), table.dtype)
+    lidx = plan.lidx.reshape(nblocks, plan.block_rows)
+    for b in range(nblocks):
+        w = table[plan.starts[b]:plan.starts[b] + plan.window]
+        li = lidx[b]
+        hit = li < plan.window
+        rows = np.where(hit, li, 0)
+        vals = w[np.minimum(rows, len(w) - 1)]
+        out[b * plan.block_rows:(b + 1) * plan.block_rows] = \
+            np.where(hit[:, None], vals, 0)
+    live = plan.exc_pos < M
+    out[plan.exc_pos[live]] = table[plan.exc_idx[live]]
+    return out

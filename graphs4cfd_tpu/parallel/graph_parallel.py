@@ -57,6 +57,10 @@ def partition_graph(graph: Graph, num_parts: int) -> Tuple[Graph, dict]:
     this function additionally requires divisibility and asserts it.
     """
     g = graph.numpy()
+    # drop the collate-attached windowed-gather plan: node/edge renumbering
+    # below invalidates it, and the edge-partitioned MP path does not use it
+    for key in [k for k in g.data if k.startswith("wg_")]:
+        del g.data[key]
     levels = [1] + sorted(int(m.group(1)) for k in g.data
                           for m in [re.match(r"pos_(\d)$", k)] if m)
     perms = {}

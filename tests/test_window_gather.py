@@ -1,0 +1,164 @@
+"""Windowed one-hot MXU gather: plan builder + Pallas kernel vs plain gather.
+
+The op must be bit-exact with ``table[indices]`` in f32 (one-hot matmul
+selects exactly one row), forward and VJP, including out-of-window
+exception rows and plan padding.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graphs4cfd_tpu.ops.window_plan import (build_window_gather_plan,
+                                            apply_plan_numpy)
+from graphs4cfd_tpu.ops.pallas_gather import windowed_take, supports
+
+
+def _mk(rng, N=1024, M=2048, H=128, spread=200, block_rows=512, window=512):
+    """Indices clustered around each block's centre (Morton-like), with a
+    sprinkle of far-away senders to exercise the exception path."""
+    base = np.repeat(np.linspace(0, N - 1, M // block_rows,
+                                 dtype=np.int64), block_rows)
+    idx = np.clip(base + rng.integers(-spread, spread, M), 0, N - 1)
+    far = rng.random(M) < 0.02
+    idx[far] = rng.integers(0, N, far.sum())
+    plan = build_window_gather_plan(idx, N, block_rows=block_rows,
+                                    window=window)
+    assert plan is not None
+    table = rng.normal(size=(N, H)).astype(np.float32)
+    return table, idx.astype(np.int32), plan
+
+
+def test_plan_numpy_roundtrip(rng):
+    table, idx, plan = _mk(rng)
+    np.testing.assert_array_equal(apply_plan_numpy(table, plan), table[idx])
+
+
+def test_plan_rejects_unsorted(rng):
+    # fully random indices -> too many misses -> fallback signal
+    idx = rng.integers(0, 100_000, 6144)
+    assert build_window_gather_plan(idx, 100_000, block_rows=1536,
+                                    window=1024) is None
+
+
+def test_plan_divisibility_and_empty(rng):
+    assert build_window_gather_plan(np.arange(7), 10, block_rows=4) is None
+    assert build_window_gather_plan(np.arange(0), 10, block_rows=4) is None
+
+
+def test_windowed_take_forward(rng):
+    table, idx, plan = _mk(rng)
+    out = windowed_take(jnp.asarray(table), _device_plan(plan),
+                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), table[idx])
+
+
+def test_windowed_take_grad(rng):
+    table, idx, plan = _mk(rng, N=512, M=1024, H=128, block_rows=256,
+                           window=256, spread=60)
+    dp = _device_plan(plan)
+    g = jnp.asarray(rng.normal(size=(1024, 128)).astype(np.float32))
+
+    def loss_fused(t):
+        return (windowed_take(t, dp, interpret=True) * g).sum()
+
+    def loss_ref(t):
+        return (t[idx] * g).sum()
+
+    t = jnp.asarray(table)
+    gf = jax.grad(loss_fused)(t)
+    gr = jax.grad(loss_ref)(t)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_supports_gate():
+    assert supports(2048, 3072, 1024, 1536)
+    assert not supports(512, 3072, 1024, 1536)   # table smaller than window
+    assert not supports(2048, 3071, 1024, 1536)  # non-divisible M
+
+
+def _device_plan(plan):
+    return (jnp.asarray(plan.starts), jnp.asarray(plan.lidx),
+            jnp.asarray(plan.exc_pos), jnp.asarray(plan.exc_idx),
+            plan.window, plan.block_rows)
+
+
+def test_gn_block_with_window_plan(rng):
+    """gn_block(window_plan=...) must match the plain-gather gn_block,
+    values and gradients, through the fused-kernel path (interpret)."""
+    from graphs4cfd_tpu.nn import blocks
+    from graphs4cfd_tpu.nn.mlp import init_mlp
+    from graphs4cfd_tpu import config as g4c_config
+
+    V, k, H = 512, 4, 128
+    table_dummy, idx, plan = _mk(rng, N=V, M=V * k, H=H, block_rows=256,
+                                 window=256, spread=60)
+    senders = jnp.asarray(idx)
+    receivers = jnp.asarray(np.repeat(np.arange(V, dtype=np.int32), k))
+    v = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(V * k, H)).astype(np.float32))
+    params = {"edge_mlp": init_mlp(jax.random.key(0), 3 * H, (H, H, H), True),
+              "node_mlp": init_mlp(jax.random.key(1), 2 * H, (H, H, H), True)}
+    dp = _device_plan(plan)
+
+    old = g4c_config.use_pallas
+    g4c_config.use_pallas = True   # exercise the fused branch (interpret)
+    try:
+        rv, re = blocks.gn_block(params, v, e, senders, receivers,
+                                 fixed_k=k, out_activation="selu")
+        wv, we = blocks.gn_block(params, v, e, senders, receivers,
+                                 fixed_k=k, out_activation="selu",
+                                 window_plan=dp)
+        np.testing.assert_allclose(np.asarray(wv), np.asarray(rv),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(we), np.asarray(re),
+                                   rtol=1e-5, atol=1e-5)
+
+        g_v = jnp.asarray(rng.normal(size=rv.shape).astype(np.float32))
+
+        def loss(p, v, wp):
+            av, _ = blocks.gn_block(p, v, e, senders, receivers, fixed_k=k,
+                                    out_activation="selu", window_plan=wp)
+            return (av * g_v).sum()
+
+        gr = jax.grad(loss, argnums=(0, 1))(params, v, None)
+        gw = jax.grad(loss, argnums=(0, 1))(params, v, dp)
+        for a, b in zip(jax.tree_util.tree_leaves(gr),
+                        jax.tree_util.tree_leaves(gw)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-3, atol=5e-4)
+    finally:
+        g4c_config.use_pallas = old
+
+
+def test_collate_attaches_plan(rng, monkeypatch):
+    """loader.collate builds a wg_ plan for spatially sorted k-NN batches."""
+    monkeypatch.setenv("GRAPHS4CFD_GATHER_WINDOW", "256")
+    from graphs4cfd_tpu.graph import Graph
+    from graphs4cfd_tpu import transforms as T
+    from graphs4cfd_tpu.loader import collate
+    from graphs4cfd_tpu.ops.window_plan import apply_plan_numpy, \
+        WindowGatherPlan
+
+    def sample(seed):
+        r = np.random.default_rng(seed)
+        g = Graph()
+        g.pos = r.random((300, 2)).astype(np.float32)
+        g.field = r.normal(size=(300, 3)).astype(np.float32)
+        for t in [T.SpatialSort(), T.ConnectKNN(k=4)]:
+            g = t(g)
+        return g
+
+    batch = collate([sample(0), sample(1)], node_bucket=256,
+                    edge_bucket=256)
+    assert batch.has("wg_starts"), "plan should attach for sorted batches"
+    plan = WindowGatherPlan(
+        np.asarray(batch.data["wg_starts"]), np.asarray(batch.data["wg_lidx"]),
+        np.asarray(batch.data["wg_exc_pos"]),
+        np.asarray(batch.data["wg_exc_idx"]),
+        batch.data["wg_window"], batch.data["wg_block_rows"])
+    table = np.random.default_rng(9).normal(
+        size=(batch.num_nodes, 8)).astype(np.float32)
+    np.testing.assert_array_equal(apply_plan_numpy(table, plan),
+                                  table[np.asarray(batch.senders)])
