@@ -37,8 +37,10 @@ common = [
     gfd.transforms.AddUniformNoise(0.01),
     gfd.transforms.GridClustering([0.02]),
 ]
-transform1 = Compose([gfd.transforms.ConnectKNN(6, period=(1, 1))] + common)
-transform2 = Compose([gfd.transforms.ConnectKNN(6, period=(None, 0.5))]
+sort = gfd.transforms.SpatialSort()    # Morton order: fast TPU gather path
+transform1 = Compose([sort, gfd.transforms.ConnectKNN(6, period=(1, 1))]
+                     + common)
+transform2 = Compose([sort, gfd.transforms.ConnectKNN(6, period=(None, 0.5))]
                      + common)
 info = {"n_in": 1, "n_out": 10, "step": 2, "T": 100}
 dataset1 = gfd.datasets.Adv(path=path1, training_info=info,

@@ -31,6 +31,7 @@ train_config = gfd.nn.TrainConfig(
 # Training dataset
 path = "<Path to dataset NsCircle.h5>"  # https://doi.org/10.5281/zenodo.7870707
 transform = Compose([
+    gfd.transforms.SpatialSort(),      # Morton order: fast TPU gather path
     gfd.transforms.GuillardCoarseningAndConnectKNN(
         k=(6, 6, 6, 6), period=(None, "auto"), scale_edge_attr=(0.1, 0.25, 0.5, 1.0)),
     gfd.transforms.ScaleNs({"u": (-2.1, 2.6), "v": (-2.25, 2.1),

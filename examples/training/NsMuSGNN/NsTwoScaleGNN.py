@@ -30,6 +30,7 @@ train_config = gfd.nn.TrainConfig(
 # Training datasets
 path = "<Path to dataset NsCircle.h5>"  # https://doi.org/10.5281/zenodo.7870707
 transform = Compose([
+    gfd.transforms.SpatialSort(),      # Morton order: fast TPU gather path
     gfd.transforms.ConnectKNN(6, period=[None, "auto"]),
     gfd.transforms.ScaleNs({'u': (-2.1, 2.6), 'v': (-2.25, 2.1),
                             'p': (-3.7, 2.35), 'Re': (500, 1000)},

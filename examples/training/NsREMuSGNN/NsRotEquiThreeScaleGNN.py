@@ -31,6 +31,7 @@ train_config = gfd.nn.TrainConfig(
 path = "<Path to dataset NsEllipse.h5>"
 transform = Compose([
     gfd.transforms.RandomNodeSubset(0.8),
+    gfd.transforms.SpatialSort(),      # Morton order: fast TPU gather path
     gfd.transforms.ScaleNs({'u': (-1.8, 1.8), 'v': (-1.8, 1.8),
                             "Re": (500, 1000)}, format='uv'),
     gfd.transforms.BuildRemusGraph(num_levels=3, k=5,

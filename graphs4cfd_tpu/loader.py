@@ -84,7 +84,8 @@ def _round_up(n: int, mult: int) -> int:
 
 
 def _add_window_gather_plan(out: dict, num_nodes: int, k: int,
-                            exc_pad: Optional[int] = None) -> None:
+                            exc_pad: Optional[int] = None,
+                            blk_pad: Optional[int] = None) -> None:
     """Attach the windowed-gather plan for the level-1 sender gather.
 
     Enables the one-hot MXU gather (``ops.pallas_gather``) on the MP hot
@@ -94,15 +95,23 @@ def _add_window_gather_plan(out: dict, num_nodes: int, k: int,
     """
     import os
     from .ops.window_plan import build_window_gather_plan
-    window = int(os.environ.get("GRAPHS4CFD_GATHER_WINDOW", "1024"))
+    # (window=512, block=128) won the TPU v5e sweep (BASELINE.md): small
+    # enough that the fused GN backward's VMEM working set and the
+    # overlapping dvs read-modify-write windows stay cheap, large enough
+    # that out-of-window exceptions stay rare after SpatialSort
+    window = int(os.environ.get("GRAPHS4CFD_GATHER_WINDOW", "512"))
     E = out["senders"].shape[0]
-    b = 256
+    b = int(os.environ.get("GRAPHS4CFD_GATHER_BLOCK", "128"))
     while b > 1 and num_nodes % b:
         b //= 2
     block_rows = k * b
     if num_nodes < window or E % block_rows:
         return
-    kwargs = {} if exc_pad is None else {"min_exc_pad": exc_pad}
+    kwargs = {}
+    if exc_pad is not None:
+        kwargs["min_exc_pad"] = exc_pad
+    if blk_pad is not None:
+        kwargs["min_blk_pad"] = blk_pad
     plan = build_window_gather_plan(out["senders"], num_nodes,
                                     block_rows=block_rows, window=window,
                                     **kwargs)
@@ -114,6 +123,8 @@ def _add_window_gather_plan(out: dict, num_nodes: int, k: int,
     out["wg_exc_idx"] = plan.exc_idx
     out["wg_window"] = plan.window
     out["wg_block_rows"] = plan.block_rows
+    out["wg_exc_lpos"] = plan.exc_lpos
+    out["wg_exc_nidx"] = plan.exc_nidx
 
 
 def collate(graphs: Sequence[Graph],
@@ -305,13 +316,15 @@ def collate_sharded(graphs: Sequence[Graph], num_shards: int,
             per_shard.append(d)
         if all("wg_starts" in d for d in per_shard):
             exc_pad = max(d["wg_exc_pos"].shape[0] for d in per_shard)
+            blk_pad = max(d["wg_exc_lpos"].shape[1] for d in per_shard)
             per_shard = []
             for i in range(num_shards):
                 d = {"senders": out["senders"][i]}
                 _add_window_gather_plan(d, num_nodes, fixed_k,
-                                        exc_pad=exc_pad)
+                                        exc_pad=exc_pad, blk_pad=blk_pad)
                 per_shard.append(d)
-            for key in ("wg_starts", "wg_lidx", "wg_exc_pos", "wg_exc_idx"):
+            for key in ("wg_starts", "wg_lidx", "wg_exc_pos", "wg_exc_idx",
+                        "wg_exc_lpos", "wg_exc_nidx"):
                 out[key] = np.stack([d[key] for d in per_shard], axis=0)
             out["wg_window"] = per_shard[0]["wg_window"]
             out["wg_block_rows"] = per_shard[0]["wg_block_rows"]

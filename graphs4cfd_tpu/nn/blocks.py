@@ -39,7 +39,8 @@ def window_plan_of(graph):
         return None
     d = graph.data
     return (d["wg_starts"], d["wg_lidx"], d["wg_exc_pos"], d["wg_exc_idx"],
-            d["wg_window"], d["wg_block_rows"])
+            d["wg_window"], d["wg_block_rows"],
+            d.get("wg_exc_lpos"), d.get("wg_exc_nidx"))
 
 
 def _sender_gather(vs, senders, sender_sort, window_plan):
@@ -142,8 +143,20 @@ def gn_block(params: dict,
                 w1 = params["edge_mlp"]["layers"][0]["w"]
                 fe, fv = e.shape[-1], v.shape[-1]
                 vs = (v.astype(cd) @ w1[fe:fe + fv].astype(cd)).astype(act)
-                vsg = _sender_gather(vs, senders, sender_sort, window_plan)
                 interpret = jax.default_backend() != "tpu"
+                from ..config import ablation
+                if (not ablation()
+                        and pg.supports_wg(window_plan, num_nodes,
+                                           fixed_k)):
+                    # windowed gather fused into the kernel (blocking
+                    # follows the plan): no [E, H] vsg materialisation
+                    # roundtrip through HBM
+                    e_new, v_new = pg.gn_block_fused_wg(
+                        params["edge_mlp"], params["node_mlp"], e, vs, v,
+                        fixed_k, window_plan, compute_dtype=cd,
+                        interpret=interpret, out_activation=out_activation)
+                    return v_new, e_new
+                vsg = _sender_gather(vs, senders, sender_sort, window_plan)
                 e_new, v_new = pg.gn_block_fused(
                     params["edge_mlp"], params["node_mlp"], e, vsg, v,
                     fixed_k, compute_dtype=cd, interpret=interpret,
@@ -244,13 +257,20 @@ def edge_mp(params: dict,
             angle_src: jnp.ndarray,
             *,
             aggr: str = "mean",
-            compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            compute_dtype=jnp.float32,
+            window_plan=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """REMuS MP on the line graph (``EdgeMP.forward``, ``blocks.py:322-333``).
 
     ``a`` is ``[E, k, Fa]`` (angles grouped by receiver edge), ``angle_src``
     is ``[E, k]`` (sender-edge ids).  Angle MLP sees ``[a, e_send, e_recv]``;
     angles aggregate onto their receiver edge by mean over the k axis; edge
     MLP sees ``[aggr, e]``.  Returns ``(e', a')``.
+
+    ``window_plan``: in the canonical layout ``angle_src[e] = senders[e]*k
+    + arange(k)``, so ``es[angle_src]`` equals a *node-sender* row gather
+    from the ``[V, k·H]``-reshaped edge table — the same windowed one-hot
+    MXU plan built for the node gather applies verbatim (indices are the
+    level's senders).
     """
     E, k, _ = a.shape
     # fused first angle layer: Wa@a + (e@Ws)[angle_src] + (e@Wr) broadcast —
@@ -263,7 +283,21 @@ def edge_mp(params: dict,
     wa, ws, wr = w1[:fa], w1[fa:fa + fe], w1[fa + fe:]
     ec = e.astype(cd)
     h = (a.astype(cd) @ wa).astype(act)
-    h = h + (ec @ ws).astype(act)[angle_src]
+    es = (ec @ ws).astype(act)
+    gathered = None
+    if window_plan is not None and E % k == 0:
+        from ..ops import pallas_gather as pg
+        V = E // k
+        win, br = int(window_plan[4]), int(window_plan[5])
+        if pg.supports(V, E, win, br):
+            tab = es.reshape(V, k * es.shape[-1])
+            interpret = jax.default_backend() != "tpu"
+            gathered = pg.windowed_take(tab, window_plan,
+                                        interpret=interpret
+                                        ).reshape(E, k, -1)
+    if gathered is None:
+        gathered = es[angle_src]
+    h = h + gathered
     h = h + (ec @ wr).astype(act)[:, None, :]
     a_new = apply_mlp_tail(params["angle_mlp"], h + lyr["b"].astype(act),
                            start=1, compute_dtype=cd)

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ..graph import Graph
 from .blocks import (edge_mp, down_edge_mp, up_edge_mp,
-                     edge_scalar_to_node_vector)
+                     edge_scalar_to_node_vector,
+                     window_plan_of as _window_plan_of)
 from .mlp import apply_mlp
 from .model import GNN
 
@@ -88,9 +89,13 @@ def remus_apply(params: dict, graph: Graph, plan, num_fields: int = 2,
         """Fold identical-shape consecutive EdgeMP layers into one
         lax.scan (compile-time optimisation; numerics unchanged)."""
         angle_src = graph.data[f"angle_src{_suffix(l)}"]
+        # level-1 angle gather = node-sender gather from the [V, k·H]
+        # reshaped edge table → reuse the loader's windowed MXU plan
+        wplan = _window_plan_of(graph) if l == 1 else None
 
         def one(p, e_l, a_l):
-            e_l, a_l = edge_mp(p, e_l, a_l, angle_src, compute_dtype=cd)
+            e_l, a_l = edge_mp(p, e_l, a_l, angle_src, compute_dtype=cd,
+                               window_plan=wplan)
             return _selu(e_l), _selu(a_l)
 
         trees = [params[n] for n in names]

@@ -6,6 +6,8 @@ from .coarsen import guillard_coarsening, pool_edge_structure
 from .angles import extend_graph, inter_level_angles
 from .interp import knn_interp_weights, knn_interpolate
 from .linalg import pinv_k2, pinv_k2_np
+from .order import morton_code, spatial_sort_perm
+from .window_plan import build_window_gather_plan, WindowGatherPlan
 
 __all__ = [
     "segment_sum", "segment_mean", "aggregate_fixed_k", "gather",
@@ -15,4 +17,6 @@ __all__ = [
     "extend_graph", "inter_level_angles",
     "knn_interp_weights", "knn_interpolate",
     "pinv_k2", "pinv_k2_np",
+    "morton_code", "spatial_sort_perm",
+    "build_window_gather_plan", "WindowGatherPlan",
 ]

@@ -169,7 +169,7 @@ def windowed_take(table: jnp.ndarray, plan, *,
     static ``window``/``block_rows`` (see ``ops.window_plan``).  Gradient
     flows to ``table`` only.
     """
-    starts, lidx, exc_pos, exc_idx, window, block_rows = plan
+    starts, lidx, exc_pos, exc_idx, window, block_rows = plan[:6]
     return _windowed_take(table, lidx, starts, exc_pos, exc_idx,
                           int(window), int(block_rows), interpret)
 

@@ -391,3 +391,391 @@ def gn_block_fused(edge_mlp: dict, node_mlp: dict, e, vsg, v, k: int, *,
     return _gn_fused(e.astype(act), vsg.astype(act), v.astype(act), flat,
                      len(ew), len(nw), bool(eln), bool(nln), k, block,
                      interpret, out_activation == "selu")
+
+
+# --------------------------------------------------------------- windowed-
+# gather fusion: the sender projection table ``vs = v@Ws`` stays in HBM and
+# each block's rows are gathered *inside* the kernel as
+# ``one_hot(local_idx) @ DMA'd window`` (+ a small per-block exception
+# matmul), eliminating the [E, H] vsg materialisation roundtrip that cost
+# ~11 ms/step at the MuS-GNN headline workload (BASELINE.md ledger).
+# Plan arrays come from ``ops.window_plan`` via ``loader.collate``.
+
+def _wg_gather_block(lidx, xlp, xval, win, block_rows, window, dtype):
+    """In-VMEM windowed gather for one edge block: one-hot MXU matmul over
+    the DMA'd table window plus the per-block exception overlay."""
+    oh = _wg_onehot(lidx, block_rows, window, dtype)
+    vsg = jnp.dot(oh, win.astype(dtype), preferred_element_type=jnp.float32)
+    X = xlp.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, X), 0)
+    ohx = (rows == xlp).astype(dtype)          # pad lpos=block_rows → zero
+    vsg = vsg + jnp.dot(ohx, xval.astype(dtype),
+                        preferred_element_type=jnp.float32)
+    return vsg, oh, ohx
+
+
+def _wg_onehot(lidx, rows, window, dtype):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, window), 1)
+    return (lidx == iota).astype(dtype)
+
+
+def _make_fwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, out_dtype, out_selu,
+                        window, block_rows):
+    def kernel(*refs):
+        starts_ref = refs[0]
+        e_ref, v_ref, lidx_ref, xlp_ref, xval_ref, vs_hbm = refs[1:7]
+        flat = [r[:] for r in refs[7:-4]]
+        e_out, v_out = refs[-4], refs[-3]
+        win, sem = refs[-2], refs[-1]
+        b = pl.program_id(0)
+        start = pl.multiple_of(starts_ref[b], 8)
+        dma = pltpu.make_async_copy(vs_hbm.at[pl.ds(start, window), :],
+                                    win, sem)
+        dma.start()
+        ew, eb, eln, nw, nb, nln = _split(flat, n_e, n_n, has_eln, has_nln)
+        dma.wait()
+        vsg, _, _ = _wg_gather_block(lidx_ref[:], xlp_ref[0],
+                                     xval_ref[0], win[:],
+                                     block_rows, window, e_ref.dtype)
+        e_new, v_new = _fwd_math(e_ref[:], vsg.astype(e_ref.dtype),
+                                 v_ref[:], k, ew, eb, eln, nw, nb, nln,
+                                 out_selu=out_selu)
+        e_out[:] = e_new.astype(out_dtype)
+        v_out[:] = v_new.astype(out_dtype)
+    return kernel
+
+
+def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
+                        window, block_rows):
+    n_params = 2 * n_e + 2 * n_n + (2 if has_eln else 0) \
+        + (2 if has_nln else 0)
+
+    def kernel(*refs):
+        starts_ref = refs[0]
+        idx = 1
+        e_ref, v_ref, lidx_ref, xlp_ref, xval_ref, vs_hbm = \
+            refs[idx:idx + 6]
+        idx += 6
+        ge_ref, gv_ref, _dvs_in = refs[idx], refs[idx + 1], refs[idx + 2]
+        idx += 3
+        flat = [r[:] for r in refs[idx:idx + n_params]]
+        idx += n_params
+        de_ref, dv_ref, dxval_ref, dvs_hbm = refs[idx:idx + 4]
+        idx += 4
+        dparams = refs[idx:idx + n_params]
+        idx += n_params
+        win, win2, sem, sem2 = refs[idx:idx + 4]
+        idx += 4
+        sparams = refs[idx:idx + n_params]
+
+        b = pl.program_id(0)
+        start = pl.multiple_of(starts_ref[b], 8)
+        dma = pltpu.make_async_copy(vs_hbm.at[pl.ds(start, window), :],
+                                    win, sem)
+        dma.start()
+
+        ew, eb, eln, nw, nb, nln = _split(flat, n_e, n_n, has_eln, has_nln)
+        s_ew, s_eb, s_eln, s_nw, s_nb, s_nln = _split(
+            list(sparams), n_e, n_n, has_eln, has_nln)
+
+        step = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+
+        @pl.when(step == 0)
+        def _init():
+            for s in sparams:
+                s[:] = jnp.zeros_like(s)
+
+        e, v = e_ref[:], v_ref[:]
+        dma.wait()
+        vsg_f32, oh, ohx = _wg_gather_block(
+            lidx_ref[:], xlp_ref[0], xval_ref[0], win[:],
+            block_rows, window, e.dtype)
+        vsg = vsg_f32.astype(e.dtype)
+        (e_new, v_new, h1, e_preacts, e_xhat, e_rstd, aggr, hn,
+         n_preacts, n_xhat, n_rstd) = _fwd_math(
+            e, vsg, v, k, ew, eb, eln, nw, nb, nln, save=True)
+        Eb = e.shape[0]
+        B = Eb // k
+        gv = gv_ref[:].astype(jnp.float32)
+        ge = ge_ref[:].astype(jnp.float32)
+        if out_selu:
+            gv = gv * _dselu(v_new)
+            ge = ge * _dselu(e_new)
+
+        # ---- node chain backward (identical to mode A) --------------------
+        if has_nln:
+            s_nln[0][:] += (gv * n_xhat).sum(axis=0, keepdims=True)
+            s_nln[1][:] += gv.sum(axis=0, keepdims=True)
+            da = _ln_backward(gv, n_xhat, n_rstd, nln[0])
+        else:
+            da = gv
+        dhn = _chain_backward(da, hn, n_preacts, nw[1:], nb[1:],
+                              s_nw[1:], s_nb[1:], preact_input=True)
+        fa = aggr.shape[-1]
+        wa, wv = nw[0][:fa], nw[0][fa:]
+        dhn_c = dhn.astype(nw[0].dtype)
+        s_nw[0][:fa] += jnp.dot(aggr.astype(nw[0].dtype).T, dhn_c,
+                                preferred_element_type=jnp.float32)
+        s_nw[0][fa:] += jnp.dot(v.astype(nw[0].dtype).T, dhn_c,
+                                preferred_element_type=jnp.float32)
+        s_nb[0][:] += dhn.sum(axis=0, keepdims=True)
+        daggr = jnp.dot(dhn_c, wa.T, preferred_element_type=jnp.float32)
+        dv = jnp.dot(dhn_c, wv.T, preferred_element_type=jnp.float32)
+
+        de_new = ge + jnp.repeat(daggr / k, k, axis=0)
+
+        # ---- edge chain backward (identical to mode A) ---------------------
+        if has_eln:
+            s_eln[0][:] += (de_new * e_xhat).sum(axis=0, keepdims=True)
+            s_eln[1][:] += de_new.sum(axis=0, keepdims=True)
+            da = _ln_backward(de_new, e_xhat, e_rstd, eln[0])
+        else:
+            da = de_new
+        dh1 = _chain_backward(da, h1, e_preacts, ew[1:], eb[1:],
+                              s_ew[1:], s_eb[1:], preact_input=True)
+        fe = e.shape[-1]
+        we, wr = ew[0][:fe], ew[0][fe:]
+        dh1_c = dh1.astype(ew[0].dtype)
+        s_ew[0][:fe] += jnp.dot(e.astype(ew[0].dtype).T, dh1_c,
+                                preferred_element_type=jnp.float32)
+        dvr = dh1.reshape(B, k, -1).sum(axis=1)
+        s_ew[0][fe:] += jnp.dot(v.astype(ew[0].dtype).T,
+                                dvr.astype(ew[0].dtype),
+                                preferred_element_type=jnp.float32)
+        s_eb[0][:] += dh1.sum(axis=0, keepdims=True)
+        de_ref[:] = jnp.dot(dh1_c, we.T,
+                            preferred_element_type=jnp.float32).astype(
+                                in_dtype)
+        dv = dv + jnp.dot(dvr.astype(ew[0].dtype), wr.T,
+                          preferred_element_type=jnp.float32)
+        dv_ref[:] = dv.astype(in_dtype)
+
+        # ---- windowed-gather backward: dvs window RMW + exception grads ----
+        rd = pltpu.make_async_copy(dvs_hbm.at[pl.ds(start, window), :],
+                                   win2, sem2)
+        rd.start()
+        dxval_ref[0] = jnp.dot(ohx.T, dh1_c,
+                               preferred_element_type=jnp.float32).astype(
+                                   dxval_ref.dtype)
+        upd = jnp.dot(oh.T, dh1_c, preferred_element_type=jnp.float32)
+        rd.wait()
+        win2[:] += upd
+        wr_dma = pltpu.make_async_copy(
+            win2, dvs_hbm.at[pl.ds(start, window), :], sem2)
+        wr_dma.start()
+        wr_dma.wait()
+
+        @pl.when(step == nsteps - 1)
+        def _write():
+            for d, s in zip(dparams, sparams):
+                d[:] = s[:]
+    return kernel
+
+
+def _wg_specs(e, v, lidx, xlp, xval, k, block):
+    """Input block specs; ``xlp`` is the [nblocks, 1, X] local-row array."""
+    Eb = k * block
+    X = xlp.shape[-1]
+    return [
+        pl.BlockSpec((Eb, e.shape[-1]), lambda b, s: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block, v.shape[-1]), lambda b, s: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Eb, 1), lambda b, s: (b, 0),
+                     memory_space=pltpu.VMEM),
+        # [nblocks, 1, X] so the (1, 1, X) block satisfies TPU tiling
+        # (sublane block dim equals the array dim)
+        pl.BlockSpec((1, 1, X), lambda b, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, X, xval.shape[-1]), lambda b, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+
+
+_WG_STATICS = (8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=_WG_STATICS)
+def _gn_fused_wg(e, vs, v, xval, flat_params, lidx, starts, xlp,
+                 n_e, n_n, has_eln, has_nln, k, block, interpret, out_selu,
+                 window):
+    return _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
+                           n_e, n_n, has_eln, has_nln, k, block, interpret,
+                           out_selu, window)
+
+
+def _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
+                    n_e, n_n, has_eln, has_nln, k, block, interpret,
+                    out_selu, window):
+    grid = (v.shape[0] // block,)
+    Eb = k * block
+    H = vs.shape[-1]
+    in_specs = _wg_specs(e, v, lidx, xlp, xval, k, block)
+    inv2 = lambda b, s: (0, 0)
+    for p in flat_params:
+        in_specs.append(pl.BlockSpec(p.shape, inv2,
+                                     memory_space=pltpu.VMEM))
+    kernel = _make_fwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, e.dtype,
+                                 out_selu, window, Eb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+        out_specs=(pl.BlockSpec((Eb, H), lambda b, s: (b, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((block, H), lambda b, s: (b, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((window, H), vs.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    e_new, v_new = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((e.shape[0], H), e.dtype),
+                   jax.ShapeDtypeStruct((v.shape[0], H), e.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(starts, e, v, lidx, xlp, xval, vs, *flat_params)
+    return e_new, v_new
+
+
+def _gn_wg_vjp_fwd(e, vs, v, xval, flat_params, lidx, starts, xlp,
+                   n_e, n_n, has_eln, has_nln, k, block, interpret,
+                   out_selu, window):
+    out = _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
+                          n_e, n_n, has_eln, has_nln, k, block, interpret,
+                          out_selu, window)
+    return out, (e, vs, v, xval, flat_params, lidx, starts, xlp)
+
+
+def _gn_wg_vjp_bwd(n_e, n_n, has_eln, has_nln, k, block, interpret,
+                   out_selu, window, res, g):
+    e, vs, v, xval, flat_params, lidx, starts, xlp = res
+    ge, gv = g
+    grid = (v.shape[0] // block,)
+    Eb = k * block
+    H = vs.shape[-1]
+    X = xlp.shape[-1]
+    in_specs = _wg_specs(e, v, lidx, xlp, xval, k, block)
+    ct_specs = [pl.BlockSpec((Eb, H), lambda b, s: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, H), lambda b, s: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY)]       # dvs zeros (alias)
+    in_specs = in_specs + ct_specs
+    inv2 = lambda b, s: (0, 0)
+    for p in flat_params:
+        in_specs.append(pl.BlockSpec(p.shape, inv2,
+                                     memory_space=pltpu.VMEM))
+    out_shapes = [jax.ShapeDtypeStruct(e.shape, e.dtype),
+                  jax.ShapeDtypeStruct(v.shape, v.dtype),
+                  jax.ShapeDtypeStruct(xval.shape, jnp.float32),
+                  jax.ShapeDtypeStruct(vs.shape, jnp.float32)]
+    out_specs = [pl.BlockSpec((Eb, e.shape[-1]), lambda b, s: (b, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((block, v.shape[-1]), lambda b, s: (b, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, X, H), lambda b, s: (b, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec(memory_space=pl.ANY)]
+    for p in flat_params:
+        out_shapes.append(jax.ShapeDtypeStruct(p.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(p.shape, inv2,
+                                      memory_space=pltpu.VMEM))
+    scratch = [pltpu.VMEM((window, H), vs.dtype),
+               pltpu.VMEM((window, H), jnp.float32),
+               pltpu.SemaphoreType.DMA(()),
+               pltpu.SemaphoreType.DMA(())]
+    scratch += [pltpu.VMEM(p.shape, jnp.float32) for p in flat_params]
+    kernel = _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, e.dtype,
+                                 out_selu, window, Eb)
+    zeros = jnp.zeros(vs.shape, jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+        out_specs=tuple(out_specs), scratch_shapes=scratch)
+    # operand order: starts, e, v, lidx, xlp, xval, vs, ge, gv, zeros, *flat
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=tuple(out_shapes),
+        input_output_aliases={9: 3},    # zeros -> dvs output
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(starts, e, v, lidx, xlp, xval, vs, ge, gv, zeros, *flat_params)
+    de, dv, dxval, dvs = outs[0], outs[1], outs[2], outs[3]
+    dflat = tuple(outs[4:])
+    # accumulate in f32, hand back in the primal dtypes
+    return (de, dvs.astype(vs.dtype), dv, dxval.astype(xval.dtype), dflat,
+            None, None, None)
+
+
+_gn_fused_wg.defvjp(_gn_wg_vjp_fwd, _gn_wg_vjp_bwd)
+
+
+def supports_wg(plan, num_nodes: int, k: int) -> bool:
+    """Gate for the in-kernel windowed gather: the GN kernel adopts the
+    plan's edge blocking (node block = block_rows // k — the loader plans
+    at node-block 128, sized so the backward's VMEM working set fits the
+    16 MB scoped limit), so the plan's block must be a whole number of
+    nodes and divide the node count; blocked exception arrays must be
+    present."""
+    if plan is None or len(plan) < 8 or plan[6] is None:
+        return False
+    window, block_rows = int(plan[4]), int(plan[5])
+    if block_rows % k:
+        return False
+    block = block_rows // k
+    # block > 128 overflows the 16 MB VMEM scoped limit in the backward
+    # kernel (one-hot + remat activations + RMW window scratch)
+    return (block % 8 == 0 and block <= 128 and num_nodes % block == 0
+            and num_nodes >= window)
+
+
+def gn_block_fused_wg(edge_mlp: dict, node_mlp: dict, e, vs, v, k: int,
+                      plan, *, compute_dtype=jnp.float32,
+                      interpret: bool = False,
+                      out_activation: str = None
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused GN block with the sender gather *inside* the kernel.
+
+    ``vs = v @ Ws`` is the full sender-projection table (HBM resident);
+    each block DMAs its plan window and gathers by one-hot MXU matmul,
+    eliminating the ``[E, H]`` vsg materialisation of ``gn_block_fused``.
+    Exception rows enter through a small per-block overlay whose values
+    (``vs[exc_nidx]``) are gathered outside, so their cotangent flows back
+    through XLA's (cheap, small) gather transpose.
+    """
+    if out_activation not in (None, "selu"):
+        raise ValueError(f"unsupported out_activation {out_activation!r}")
+    starts, lidx = plan[0], plan[1]
+    window = int(plan[4])
+    block = int(plan[5]) // k          # kernel blocking follows the plan
+    exc_lpos, exc_nidx = plan[6], plan[7]
+    cd = compute_dtype
+    act = cd if cd != jnp.float32 else jnp.float32
+    fe = e.shape[-1]
+    fv = v.shape[-1]
+    w1 = edge_mlp["layers"][0]["w"]
+    we_wr = jnp.concatenate([w1[:fe], w1[fe + fv:]], axis=0).astype(cd)
+    ew = (we_wr,) + tuple(l["w"].astype(cd)
+                          for l in edge_mlp["layers"][1:])
+    eb = tuple(l["b"].reshape(1, -1).astype(jnp.float32)
+               for l in edge_mlp["layers"])
+    eln = ((edge_mlp["ln"]["scale"].reshape(1, -1).astype(jnp.float32),
+            edge_mlp["ln"]["bias"].reshape(1, -1).astype(jnp.float32))
+           if "ln" in edge_mlp else ())
+    nw = tuple(l["w"].astype(cd) for l in node_mlp["layers"])
+    nb = tuple(l["b"].reshape(1, -1).astype(jnp.float32)
+               for l in node_mlp["layers"])
+    nln = ((node_mlp["ln"]["scale"].reshape(1, -1).astype(jnp.float32),
+            node_mlp["ln"]["bias"].reshape(1, -1).astype(jnp.float32))
+           if "ln" in node_mlp else ())
+    flat = (*ew, *eb, *eln, *nw, *nb, *nln)
+    vs = vs.astype(act)
+    nblocks, X = exc_nidx.shape
+    xval = jnp.take(vs, exc_nidx.reshape(-1), axis=0,
+                    mode="clip").reshape(nblocks, X, vs.shape[-1])
+    xlp3 = exc_lpos.reshape(nblocks, 1, X)
+    return _gn_fused_wg(e.astype(act), vs, v.astype(act), xval, flat,
+                        lidx, starts, xlp3,
+                        len(ew), len(nw), bool(eln), bool(nln), k, block,
+                        interpret, out_activation == "selu", window)

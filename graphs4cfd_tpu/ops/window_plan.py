@@ -32,6 +32,10 @@ class WindowGatherPlan(NamedTuple):
     exc_idx: np.ndarray   # [P] int32 — node indices of misses (pad: N)
     window: int           # static window width (rows)
     block_rows: int       # static rows per kernel block
+    # blocked exception form (for the in-kernel gather of the fused GN
+    # block): per-block local row / table index, padded per block
+    exc_lpos: np.ndarray  # [num_blocks, X] int32 — local row (pad: block_rows)
+    exc_nidx: np.ndarray  # [num_blocks, X] int32 — table row (pad: num_rows)
 
 
 def _ceil_pow2(n: int, lo: int) -> int:
@@ -47,7 +51,8 @@ def build_window_gather_plan(indices: np.ndarray,
                              block_rows: int = 1536,
                              window: int = 1024,
                              max_miss_frac: float = 0.25,
-                             min_exc_pad: int = 256
+                             min_exc_pad: int = 256,
+                             min_blk_pad: int = 8
                              ) -> Optional[WindowGatherPlan]:
     """Plan ``table[indices]`` as blockwise windowed one-hot matmuls.
 
@@ -80,6 +85,18 @@ def build_window_gather_plan(indices: np.ndarray,
     exc_idx = idx[exc_pos]
     P = _ceil_pow2(max(len(exc_pos), 1), min_exc_pad)
     pad = P - len(exc_pos)
+    # blocked exception form: per-block (local row, table row) pairs padded
+    # to a common power-of-2 width X (pad lpos = block_rows → zero one-hot
+    # row in the kernel; pad nidx = num_rows → clip-gather, value masked by
+    # the zero one-hot)
+    per_block_counts = miss.sum(axis=1)
+    X = _ceil_pow2(max(int(per_block_counts.max()), 1), min_blk_pad)
+    exc_lpos = np.full((nblocks, X), block_rows, np.int64)
+    exc_nidx = np.full((nblocks, X), num_rows, np.int64)
+    for b in np.nonzero(per_block_counts)[0]:
+        rows = np.nonzero(miss[b])[0]
+        exc_lpos[b, :len(rows)] = rows
+        exc_nidx[b, :len(rows)] = blocks[b, rows]
     # pad positions point one-past-the-end (dropped by scatter mode='drop');
     # pad node indices point one-past-the-end (dropped by segment_sum)
     exc_pos = np.concatenate([exc_pos, np.full(pad, M, np.int64)])
@@ -91,6 +108,8 @@ def build_window_gather_plan(indices: np.ndarray,
         exc_idx=exc_idx.astype(np.int32),
         window=window,
         block_rows=block_rows,
+        exc_lpos=exc_lpos.astype(np.int32),
+        exc_nidx=exc_nidx.astype(np.int32),
     )
 
 

@@ -81,7 +81,8 @@ def test_supports_gate():
 def _device_plan(plan):
     return (jnp.asarray(plan.starts), jnp.asarray(plan.lidx),
             jnp.asarray(plan.exc_pos), jnp.asarray(plan.exc_idx),
-            plan.window, plan.block_rows)
+            plan.window, plan.block_rows,
+            jnp.asarray(plan.exc_lpos), jnp.asarray(plan.exc_nidx))
 
 
 def test_gn_block_with_window_plan(rng):
@@ -157,8 +158,121 @@ def test_collate_attaches_plan(rng, monkeypatch):
         np.asarray(batch.data["wg_starts"]), np.asarray(batch.data["wg_lidx"]),
         np.asarray(batch.data["wg_exc_pos"]),
         np.asarray(batch.data["wg_exc_idx"]),
-        batch.data["wg_window"], batch.data["wg_block_rows"])
+        batch.data["wg_window"], batch.data["wg_block_rows"],
+        np.asarray(batch.data["wg_exc_lpos"]),
+        np.asarray(batch.data["wg_exc_nidx"]))
     table = np.random.default_rng(9).normal(
         size=(batch.num_nodes, 8)).astype(np.float32)
     np.testing.assert_array_equal(apply_plan_numpy(table, plan),
                                   table[np.asarray(batch.senders)])
+
+
+def test_edge_mp_with_window_plan(rng):
+    """REMuS angle gather via the [V, k·H] reshape + windowed plan must
+    match es[angle_src] exactly (values and grads)."""
+    from graphs4cfd_tpu.nn import blocks
+    from graphs4cfd_tpu.nn.mlp import init_mlp
+
+    V, k, H, FA = 512, 4, 128, 4
+    _, senders, plan = _mk(rng, N=V, M=V * k, H=H, block_rows=256,
+                           window=256, spread=60)
+    E = V * k
+    angle_src = (senders.astype(np.int64)[:, None] * k
+                 + np.arange(k)[None, :]).astype(np.int32)
+    dp = _device_plan(plan)
+    e = jnp.asarray(rng.normal(size=(E, H)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(E, k, FA)).astype(np.float32))
+    params = {"angle_mlp": init_mlp(jax.random.key(0), FA + 2 * H,
+                                    (H, H), True),
+              "edge_mlp": init_mlp(jax.random.key(1), 2 * H, (H, H), True)}
+
+    rv, ra = blocks.edge_mp(params, e, a, jnp.asarray(angle_src))
+    wv, wa = blocks.edge_mp(params, e, a, jnp.asarray(angle_src),
+                            window_plan=dp)
+    np.testing.assert_allclose(np.asarray(wv), np.asarray(rv),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wa), np.asarray(ra),
+                               rtol=1e-5, atol=1e-5)
+
+    g = jnp.asarray(rng.normal(size=rv.shape).astype(np.float32))
+
+    def loss(p, e, wp):
+        ev, _ = blocks.edge_mp(p, e, a, jnp.asarray(angle_src),
+                               window_plan=wp)
+        return (ev * g).sum()
+
+    gr = jax.grad(loss, argnums=(0, 1))(params, e, None)
+    gw = jax.grad(loss, argnums=(0, 1))(params, e, dp)
+    for x, y in zip(jax.tree_util.tree_leaves(gr),
+                    jax.tree_util.tree_leaves(gw)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=2e-3, atol=5e-4)
+
+
+def test_blocked_exceptions_consistent(rng):
+    """Blocked exception arrays must list exactly the global misses."""
+    _, idx, plan = _mk(rng)
+    M = plan.lidx.shape[0]
+    live = plan.exc_pos < M
+    from_blocked = []
+    for b in range(plan.exc_lpos.shape[0]):
+        for x in range(plan.exc_lpos.shape[1]):
+            if plan.exc_lpos[b, x] < plan.block_rows:
+                from_blocked.append((b * plan.block_rows
+                                     + plan.exc_lpos[b, x],
+                                     plan.exc_nidx[b, x]))
+    expect = sorted(zip(plan.exc_pos[live].tolist(),
+                        plan.exc_idx[live].tolist()))
+    assert sorted(from_blocked) == expect
+
+
+def test_gn_block_fused_wg_matches(rng):
+    """Mode-B (in-kernel windowed gather) gn_block must match the plain
+    path, values and gradients, including exception rows (interpret)."""
+    from graphs4cfd_tpu.nn import blocks
+    from graphs4cfd_tpu.nn.mlp import init_mlp
+    from graphs4cfd_tpu.ops import pallas_gnblock as pg
+    from graphs4cfd_tpu import config as g4c_config
+
+    V, k, H = 512, 4, 128
+    _, idx, plan = _mk(rng, N=V, M=V * k, H=H, block_rows=k * 128,
+                       window=256, spread=60)
+    dp = _device_plan(plan)
+    assert pg.supports_wg(dp, V, k)
+    senders = jnp.asarray(idx)
+    receivers = jnp.asarray(np.repeat(np.arange(V, dtype=np.int32), k))
+    v = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(V * k, H)).astype(np.float32))
+    params = {"edge_mlp": init_mlp(jax.random.key(0), 3 * H, (H, H, H), True),
+              "node_mlp": init_mlp(jax.random.key(1), 2 * H, (H, H, H), True)}
+
+    old = g4c_config.use_pallas
+    g4c_config.use_pallas = True
+    try:
+        rv, re = blocks.gn_block(params, v, e, senders, receivers,
+                                 fixed_k=k, out_activation="selu")
+        wv, we = blocks.gn_block(params, v, e, senders, receivers,
+                                 fixed_k=k, out_activation="selu",
+                                 window_plan=dp)
+        np.testing.assert_allclose(np.asarray(wv), np.asarray(rv),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(we), np.asarray(re),
+                                   rtol=1e-5, atol=1e-5)
+
+        g_v = jnp.asarray(rng.normal(size=rv.shape).astype(np.float32))
+        g_e = jnp.asarray(rng.normal(size=re.shape).astype(np.float32))
+
+        def loss(p, v, e, wp):
+            av, ae = blocks.gn_block(p, v, e, senders, receivers,
+                                     fixed_k=k, out_activation="selu",
+                                     window_plan=wp)
+            return (av * g_v).sum() + (ae * g_e).sum()
+
+        gr = jax.grad(loss, argnums=(0, 1, 2))(params, v, e, None)
+        gw = jax.grad(loss, argnums=(0, 1, 2))(params, v, e, dp)
+        for x, y in zip(jax.tree_util.tree_leaves(gr),
+                        jax.tree_util.tree_leaves(gw)):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       rtol=2e-3, atol=5e-4)
+    finally:
+        g4c_config.use_pallas = old

@@ -70,7 +70,7 @@ def main():
 
     # ---- gMuS 3-scale (NsCircle workload) ----------------------------------
     log("gMuS-GNN 3-scale, batch 8 x 5000 nodes, k=6")
-    tf = Compose([T.GuillardCoarseningAndConnectKNN(
+    tf = Compose([T.SpatialSort(), T.GuillardCoarseningAndConnectKNN(
         k=[6, 6, 6], scale_edge_attr=(0.1, 0.25, 0.5)),
         T.BuildKnnInterpWeights(6)])
     gs = [tf(cloud(5000, 3)) for _ in range(8)]
@@ -99,7 +99,8 @@ def main():
 
     # ---- REMuS 3-scale (NsEllipse workload) --------------------------------
     log("REMuS-GNN 3-scale, batch 4 x 5000 nodes, k=5")
-    tf = Compose([T.BuildRemusGraph(num_levels=3, k=5,
+    tf = Compose([T.SpatialSort(),
+                  T.BuildRemusGraph(num_levels=3, k=5,
                                     scale_edge_length=(0.1, 0.2, 0.4)),
                   T.BuildKnnInterpWeights(5)])
     gs = [tf(cloud(5000, 2, n_in=1)) for _ in range(4)]

@@ -162,6 +162,7 @@ train_config = gfd.nn.TrainConfig(
 # Training datasets
 path = "<Path to dataset NsCircle.h5>"  # https://doi.org/10.5281/zenodo.7870707
 transform = Compose([
+    gfd.transforms.SpatialSort(),      # Morton order: fast TPU gather path
     gfd.transforms.ConnectKNN(6, period=[None, "auto"]),
     gfd.transforms.ScaleNs({{'u': (-2.1, 2.6), 'v': (-2.25, 2.1),
                             'p': (-3.7, 2.35), 'Re': (500, 1000)}},
@@ -233,8 +234,10 @@ common = [
     gfd.transforms.AddUniformNoise(0.01),
     gfd.transforms.GridClustering([{cells}]),
 ]
-transform1 = Compose([gfd.transforms.ConnectKNN(6, period=(1, 1))] + common)
-transform2 = Compose([gfd.transforms.ConnectKNN(6, period=(None, 0.5))]
+sort = gfd.transforms.SpatialSort()    # Morton order: fast TPU gather path
+transform1 = Compose([sort, gfd.transforms.ConnectKNN(6, period=(1, 1))]
+                     + common)
+transform2 = Compose([sort, gfd.transforms.ConnectKNN(6, period=(None, 0.5))]
                      + common)
 info = {{"n_in": 1, "n_out": 10, "step": 2, "T": 100}}
 dataset1 = gfd.datasets.Adv(path=path1, training_info=info,
@@ -294,6 +297,7 @@ train_config = gfd.nn.TrainConfig(
 # Training dataset
 path = "<Path to dataset NsCircle.h5>"  # https://doi.org/10.5281/zenodo.7870707
 transform = Compose([
+    gfd.transforms.SpatialSort(),      # Morton order: fast TPU gather path
     gfd.transforms.GuillardCoarseningAndConnectKNN(
         k={ks}, period=(None, "auto"), scale_edge_attr={scales}),
     gfd.transforms.ScaleNs({{"u": (-2.1, 2.6), "v": (-2.25, 2.1),
@@ -359,6 +363,7 @@ train_config = gfd.nn.TrainConfig(
 path = "<Path to dataset NsEllipse.h5>"
 transform = Compose([
     gfd.transforms.RandomNodeSubset(0.8),
+    gfd.transforms.SpatialSort(),      # Morton order: fast TPU gather path
     gfd.transforms.ScaleNs({'u': (-1.8, 1.8), 'v': (-1.8, 1.8),
                             "Re": (500, 1000)}, format='uv'),
     gfd.transforms.BuildRemusGraph(num_levels=3, k=5,
