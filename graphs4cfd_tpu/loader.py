@@ -114,7 +114,7 @@ def _add_window_gather_plan(out: dict, num_nodes: int, k: int,
         kwargs["min_blk_pad"] = blk_pad
     plan = build_window_gather_plan(out["senders"], num_nodes,
                                     block_rows=block_rows, window=window,
-                                    **kwargs)
+                                    stride=b, **kwargs)
     if plan is None:
         return
     out["wg_starts"] = plan.starts
@@ -125,6 +125,7 @@ def _add_window_gather_plan(out: dict, num_nodes: int, k: int,
     out["wg_block_rows"] = plan.block_rows
     out["wg_exc_lpos"] = plan.exc_lpos
     out["wg_exc_nidx"] = plan.exc_nidx
+    out["wg_stride"] = plan.stride
 
 
 def collate(graphs: Sequence[Graph],

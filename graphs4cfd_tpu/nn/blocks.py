@@ -40,7 +40,8 @@ def window_plan_of(graph):
     d = graph.data
     return (d["wg_starts"], d["wg_lidx"], d["wg_exc_pos"], d["wg_exc_idx"],
             d["wg_window"], d["wg_block_rows"],
-            d.get("wg_exc_lpos"), d.get("wg_exc_nidx"))
+            d.get("wg_exc_lpos"), d.get("wg_exc_nidx"),
+            d.get("wg_stride", 0))
 
 
 def _sender_gather(vs, senders, sender_sort, window_plan):

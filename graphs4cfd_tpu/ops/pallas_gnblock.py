@@ -446,9 +446,10 @@ def _make_fwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, out_dtype, out_selu,
 
 
 def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
-                        window, block_rows):
+                        window, block_rows, stride=0):
     n_params = 2 * n_e + 2 * n_n + (2 if has_eln else 0) \
         + (2 if has_nln else 0)
+    rolling = stride > 0
 
     def kernel(*refs):
         starts_ref = refs[0]
@@ -456,14 +457,17 @@ def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
         e_ref, v_ref, lidx_ref, xlp_ref, xval_ref, vs_hbm = \
             refs[idx:idx + 6]
         idx += 6
-        ge_ref, gv_ref, _dvs_in = refs[idx], refs[idx + 1], refs[idx + 2]
-        idx += 3
+        ge_ref, gv_ref = refs[idx], refs[idx + 1]
+        idx += 2
+        if not rolling:
+            idx += 1                   # zero-initialised dvs alias input
         flat = [r[:] for r in refs[idx:idx + n_params]]
         idx += n_params
         de_ref, dv_ref, dxval_ref, dvs_hbm = refs[idx:idx + 4]
         idx += 4
         dparams = refs[idx:idx + n_params]
         idx += n_params
+        # win2 doubles as the rolling dvs accumulator (f32) in rolling mode
         win, win2, sem, sem2 = refs[idx:idx + 4]
         idx += 4
         sparams = refs[idx:idx + n_params]
@@ -473,6 +477,21 @@ def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
         dma = pltpu.make_async_copy(vs_hbm.at[pl.ds(start, window), :],
                                     win, sem)
         dma.start()
+
+        if rolling:
+            # monotone starts (planner: diffs in {0, stride}); rows
+            # [prev, start) got their last contribution in block b-1, so
+            # flush them now, overlapped with this block's main math
+            prev = pl.multiple_of(starts_ref[jnp.maximum(b - 1, 0)], 8)
+            shift = start - prev
+            acc = win2
+            flush = pltpu.make_async_copy(
+                acc.at[pl.ds(0, stride), :],
+                dvs_hbm.at[pl.ds(prev, stride), :], sem2)
+
+            @pl.when(shift > 0)
+            def _flush_start():
+                flush.start()
 
         ew, eb, eln, nw, nb, nln = _split(flat, n_e, n_n, has_eln, has_nln)
         s_ew, s_eb, s_eln, s_nw, s_nb, s_nln = _split(
@@ -485,6 +504,8 @@ def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
         def _init():
             for s in sparams:
                 s[:] = jnp.zeros_like(s)
+            if rolling:
+                win2[:] = jnp.zeros_like(win2)
 
         e, v = e_ref[:], v_ref[:]
         dma.wait()
@@ -551,20 +572,41 @@ def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
                           preferred_element_type=jnp.float32)
         dv_ref[:] = dv.astype(in_dtype)
 
-        # ---- windowed-gather backward: dvs window RMW + exception grads ----
-        rd = pltpu.make_async_copy(dvs_hbm.at[pl.ds(start, window), :],
-                                   win2, sem2)
-        rd.start()
+        # ---- windowed-gather backward: dvs accumulation + exception grads --
+        if not rolling:
+            rd = pltpu.make_async_copy(dvs_hbm.at[pl.ds(start, window), :],
+                                       win2, sem2)
+            rd.start()
         dxval_ref[0] = jnp.dot(ohx.T, dh1_c,
                                preferred_element_type=jnp.float32).astype(
                                    dxval_ref.dtype)
         upd = jnp.dot(oh.T, dh1_c, preferred_element_type=jnp.float32)
-        rd.wait()
-        win2[:] += upd
-        wr_dma = pltpu.make_async_copy(
-            win2, dvs_hbm.at[pl.ds(start, window), :], sem2)
-        wr_dma.start()
-        wr_dma.wait()
+        if rolling:
+            # rolling accumulator: retire the flushed rows, slide the
+            # window, add this block's contribution; each dvs row is
+            # DMA-written exactly once (vs. the window-wide RMW of the
+            # non-rolling path — ~window/stride× less HBM traffic)
+            @pl.when(shift > 0)
+            def _slide():
+                flush.wait()
+                acc[0:window - stride, :] = acc[stride:window, :]
+                acc[window - stride:window, :] = jnp.zeros(
+                    (stride, acc.shape[1]), acc.dtype)
+            acc[:] += upd
+
+            @pl.when(step == nsteps - 1)
+            def _flush_tail():
+                fin = pltpu.make_async_copy(
+                    acc, dvs_hbm.at[pl.ds(start, window), :], sem2)
+                fin.start()
+                fin.wait()
+        else:
+            rd.wait()
+            win2[:] += upd
+            wr_dma = pltpu.make_async_copy(
+                win2, dvs_hbm.at[pl.ds(start, window), :], sem2)
+            wr_dma.start()
+            wr_dma.wait()
 
         @pl.when(step == nsteps - 1)
         def _write():
@@ -594,13 +636,13 @@ def _wg_specs(e, v, lidx, xlp, xval, k, block):
     ]
 
 
-_WG_STATICS = (8, 9, 10, 11, 12, 13, 14, 15, 16)
+_WG_STATICS = (8, 9, 10, 11, 12, 13, 14, 15, 16, 17)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=_WG_STATICS)
 def _gn_fused_wg(e, vs, v, xval, flat_params, lidx, starts, xlp,
                  n_e, n_n, has_eln, has_nln, k, block, interpret, out_selu,
-                 window):
+                 window, stride):
     return _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
                            n_e, n_n, has_eln, has_nln, k, block, interpret,
                            out_selu, window)
@@ -641,7 +683,7 @@ def _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
 
 def _gn_wg_vjp_fwd(e, vs, v, xval, flat_params, lidx, starts, xlp,
                    n_e, n_n, has_eln, has_nln, k, block, interpret,
-                   out_selu, window):
+                   out_selu, window, stride):
     out = _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
                           n_e, n_n, has_eln, has_nln, k, block, interpret,
                           out_selu, window)
@@ -649,9 +691,10 @@ def _gn_wg_vjp_fwd(e, vs, v, xval, flat_params, lidx, starts, xlp,
 
 
 def _gn_wg_vjp_bwd(n_e, n_n, has_eln, has_nln, k, block, interpret,
-                   out_selu, window, res, g):
+                   out_selu, window, stride, res, g):
     e, vs, v, xval, flat_params, lidx, starts, xlp = res
     ge, gv = g
+    rolling = stride > 0
     grid = (v.shape[0] // block,)
     Eb = k * block
     H = vs.shape[-1]
@@ -660,8 +703,11 @@ def _gn_wg_vjp_bwd(n_e, n_n, has_eln, has_nln, k, block, interpret,
     ct_specs = [pl.BlockSpec((Eb, H), lambda b, s: (b, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((block, H), lambda b, s: (b, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY)]       # dvs zeros (alias)
+                             memory_space=pltpu.VMEM)]
+    if not rolling:
+        # zero-initialised dvs buffer, aliased to the dvs output (the
+        # rolling path writes every dvs row exactly once → no init needed)
+        ct_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     in_specs = in_specs + ct_specs
     inv2 = lambda b, s: (0, 0)
     for p in flat_params:
@@ -688,19 +734,24 @@ def _gn_wg_vjp_bwd(n_e, n_n, has_eln, has_nln, k, block, interpret,
                pltpu.SemaphoreType.DMA(())]
     scratch += [pltpu.VMEM(p.shape, jnp.float32) for p in flat_params]
     kernel = _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, e.dtype,
-                                 out_selu, window, Eb)
-    zeros = jnp.zeros(vs.shape, jnp.float32)
+                                 out_selu, window, Eb, stride)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
         out_specs=tuple(out_specs), scratch_shapes=scratch)
-    # operand order: starts, e, v, lidx, xlp, xval, vs, ge, gv, zeros, *flat
+    # operand order: starts, e, v, lidx, xlp, xval, vs, ge, gv[, zeros],
+    # *flat — rolling mode needs no zeros (each dvs row flushed once)
+    operands = [starts, e, v, lidx, xlp, xval, vs, ge, gv]
+    aliases = {}
+    if not rolling:
+        operands.append(jnp.zeros(vs.shape, jnp.float32))
+        aliases = {9: 3}                # zeros -> dvs output
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=tuple(out_shapes),
-        input_output_aliases={9: 3},    # zeros -> dvs output
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(starts, e, v, lidx, xlp, xval, vs, ge, gv, zeros, *flat_params)
+    )(*operands, *flat_params)
     de, dv, dxval, dvs = outs[0], outs[1], outs[2], outs[3]
     dflat = tuple(outs[4:])
     # accumulate in f32, hand back in the primal dtypes
@@ -724,6 +775,9 @@ def supports_wg(plan, num_nodes: int, k: int) -> bool:
     if block_rows % k:
         return False
     block = block_rows // k
+    stride = int(plan[8]) if len(plan) > 8 and plan[8] is not None else 0
+    if stride and (window % stride or num_nodes % stride):
+        return False
     # block > 128 overflows the 16 MB VMEM scoped limit in the backward
     # kernel (one-hot + remat activations + RMW window scratch)
     return (block % 8 == 0 and block <= 128 and num_nodes % block == 0
@@ -750,6 +804,7 @@ def gn_block_fused_wg(edge_mlp: dict, node_mlp: dict, e, vs, v, k: int,
     window = int(plan[4])
     block = int(plan[5]) // k          # kernel blocking follows the plan
     exc_lpos, exc_nidx = plan[6], plan[7]
+    stride = int(plan[8]) if len(plan) > 8 and plan[8] is not None else 0
     cd = compute_dtype
     act = cd if cd != jnp.float32 else jnp.float32
     fe = e.shape[-1]
@@ -778,4 +833,5 @@ def gn_block_fused_wg(edge_mlp: dict, node_mlp: dict, e, vs, v, k: int,
     return _gn_fused_wg(e.astype(act), vs, v.astype(act), xval, flat,
                         lidx, starts, xlp3,
                         len(ew), len(nw), bool(eln), bool(nln), k, block,
-                        interpret, out_activation == "selu", window)
+                        interpret, out_activation == "selu", window,
+                        stride)

@@ -36,6 +36,11 @@ class WindowGatherPlan(NamedTuple):
     # block): per-block local row / table index, padded per block
     exc_lpos: np.ndarray  # [num_blocks, X] int32 — local row (pad: block_rows)
     exc_nidx: np.ndarray  # [num_blocks, X] int32 — table row (pad: num_rows)
+    # rolling mode: when > 0, starts are monotone with consecutive
+    # differences in {0, stride} exactly, enabling the rolling-accumulator
+    # backward in the fused GN kernel (dvs rows flushed to HBM once each
+    # instead of a window-wide RMW per block)
+    stride: int = 0
 
 
 def _ceil_pow2(n: int, lo: int) -> int:
@@ -52,7 +57,8 @@ def build_window_gather_plan(indices: np.ndarray,
                              window: int = 1024,
                              max_miss_frac: float = 0.25,
                              min_exc_pad: int = 256,
-                             min_blk_pad: int = 8
+                             min_blk_pad: int = 8,
+                             stride: int = 0
                              ) -> Optional[WindowGatherPlan]:
     """Plan ``table[indices]`` as blockwise windowed one-hot matmuls.
 
@@ -60,6 +66,13 @@ def build_window_gather_plan(indices: np.ndarray,
     None when the layout doesn't fit (M not divisible by ``block_rows``) or
     the miss rate exceeds ``max_miss_frac`` (nodes not spatially sorted —
     the XLA gather fallback is then the better choice).
+
+    ``stride > 0`` requests *rolling* starts: ``start[b] = clip(b*stride +
+    off)`` with a single best offset chosen by miss count, guaranteeing
+    monotone starts with consecutive differences in {0, stride}.  This is
+    what the fused GN backward's rolling dvs accumulator needs; it also
+    makes consecutive windows overlap by exactly ``window - stride`` rows
+    so kernels can maintain the VMEM window incrementally.
     """
     idx = np.asarray(indices, dtype=np.int64).ravel()
     M = idx.shape[0]
@@ -67,13 +80,29 @@ def build_window_gather_plan(indices: np.ndarray,
         return None
     nblocks = M // block_rows
     blocks = idx.reshape(nblocks, block_rows)
-    # median-centred window, clamped to the table; starts are rounded to
-    # sublane multiples (8) so the kernel's dynamic DMA slice is provably
-    # tile-aligned for Mosaic
-    med = np.median(blocks, axis=1).astype(np.int64)
-    starts = np.clip(med - window // 2, 0,
-                     max(num_rows - window, 0)).astype(np.int64)
-    starts &= ~np.int64(7)
+    if stride > 0 and (stride % 8 or window % stride or num_rows % stride
+                       or num_rows < window):
+        stride = 0                     # layout unfit → median fallback
+    if stride > 0:
+        # rolling starts: pick the miss-minimising offset among stride
+        # multiples (the unclipped windows track the receiver blocks)
+        base = np.arange(nblocks, dtype=np.int64) * stride
+        hi = num_rows - window
+        best, starts = None, None
+        for off in range(-window, stride, stride):
+            s = np.clip(base + off, 0, hi)
+            l = blocks - s[:, None]
+            n = int(((l < 0) | (l >= window)).sum())
+            if best is None or n < best:
+                best, starts = n, s
+    else:
+        # median-centred window, clamped to the table; starts are rounded
+        # to sublane multiples (8) so the kernel's dynamic DMA slice is
+        # provably tile-aligned for Mosaic
+        med = np.median(blocks, axis=1).astype(np.int64)
+        starts = np.clip(med - window // 2, 0,
+                         max(num_rows - window, 0)).astype(np.int64)
+        starts &= ~np.int64(7)
     local = blocks - starts[:, None]
     miss = (local < 0) | (local >= window)
     n_miss = int(miss.sum())
@@ -110,6 +139,7 @@ def build_window_gather_plan(indices: np.ndarray,
         block_rows=block_rows,
         exc_lpos=exc_lpos.astype(np.int32),
         exc_nidx=exc_nidx.astype(np.int32),
+        stride=int(stride),
     )
 
 

@@ -14,7 +14,8 @@ from graphs4cfd_tpu.ops.window_plan import (build_window_gather_plan,
 from graphs4cfd_tpu.ops.pallas_gather import windowed_take, supports
 
 
-def _mk(rng, N=1024, M=2048, H=128, spread=200, block_rows=512, window=512):
+def _mk(rng, N=1024, M=2048, H=128, spread=200, block_rows=512, window=512,
+        stride=0):
     """Indices clustered around each block's centre (Morton-like), with a
     sprinkle of far-away senders to exercise the exception path."""
     base = np.repeat(np.linspace(0, N - 1, M // block_rows,
@@ -23,7 +24,7 @@ def _mk(rng, N=1024, M=2048, H=128, spread=200, block_rows=512, window=512):
     far = rng.random(M) < 0.02
     idx[far] = rng.integers(0, N, far.sum())
     plan = build_window_gather_plan(idx, N, block_rows=block_rows,
-                                    window=window)
+                                    window=window, stride=stride)
     assert plan is not None
     table = rng.normal(size=(N, H)).astype(np.float32)
     return table, idx.astype(np.int32), plan
@@ -82,7 +83,19 @@ def _device_plan(plan):
     return (jnp.asarray(plan.starts), jnp.asarray(plan.lidx),
             jnp.asarray(plan.exc_pos), jnp.asarray(plan.exc_idx),
             plan.window, plan.block_rows,
-            jnp.asarray(plan.exc_lpos), jnp.asarray(plan.exc_nidx))
+            jnp.asarray(plan.exc_lpos), jnp.asarray(plan.exc_nidx),
+            plan.stride)
+
+
+def test_rolling_plan_monotone(rng):
+    """stride-mode starts must be monotone with diffs in {0, stride} and
+    still reproduce the exact gather."""
+    table, idx, plan = _mk(rng, N=1024, M=4096, H=16, block_rows=512,
+                           window=512, stride=128, spread=150)
+    assert plan.stride == 128
+    d = np.diff(plan.starts.astype(np.int64))
+    assert set(d.tolist()) <= {0, 128}
+    np.testing.assert_array_equal(apply_plan_numpy(table, plan), table[idx])
 
 
 def test_gn_block_with_window_plan(rng):
@@ -226,9 +239,11 @@ def test_blocked_exceptions_consistent(rng):
     assert sorted(from_blocked) == expect
 
 
-def test_gn_block_fused_wg_matches(rng):
+@pytest.mark.parametrize("stride", [0, 128])
+def test_gn_block_fused_wg_matches(rng, stride):
     """Mode-B (in-kernel windowed gather) gn_block must match the plain
-    path, values and gradients, including exception rows (interpret)."""
+    path, values and gradients, including exception rows (interpret).
+    ``stride=128`` exercises the rolling-accumulator backward."""
     from graphs4cfd_tpu.nn import blocks
     from graphs4cfd_tpu.nn.mlp import init_mlp
     from graphs4cfd_tpu.ops import pallas_gnblock as pg
@@ -236,7 +251,8 @@ def test_gn_block_fused_wg_matches(rng):
 
     V, k, H = 512, 4, 128
     _, idx, plan = _mk(rng, N=V, M=V * k, H=H, block_rows=k * 128,
-                       window=256, spread=60)
+                       window=256, spread=60, stride=stride)
+    assert plan.stride == stride
     dp = _device_plan(plan)
     assert pg.supports_wg(dp, V, k)
     senders = jnp.asarray(idx)
