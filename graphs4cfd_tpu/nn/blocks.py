@@ -259,7 +259,9 @@ def edge_mp(params: dict,
             *,
             aggr: str = "mean",
             compute_dtype=jnp.float32,
-            window_plan=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            window_plan=None,
+            out_activation: Optional[str] = None
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """REMuS MP on the line graph (``EdgeMP.forward``, ``blocks.py:322-333``).
 
     ``a`` is ``[E, k, Fa]`` (angles grouped by receiver edge), ``angle_src``
@@ -272,10 +274,17 @@ def edge_mp(params: dict,
     from the ``[V, k·H]``-reshaped edge table — the same windowed one-hot
     MXU plan built for the node gather applies verbatim (indices are the
     level's senders).
+
+    Structurally EdgeMP *is* a GN block on the line graph — (angle, edge)
+    states play (edge, node): same fused first layer, fixed-k mean, same
+    second chain on ``[aggr, state]``.  When shapes qualify the whole
+    layer therefore runs through the fused Pallas GN-block kernel
+    (``ops.pallas_gnblock``) with only the angle-source gather outside,
+    eliminating the XLA-autodiff residual spills of the ``[E·k, H]``
+    angle chain (the dominant HBM traffic of the REMuS step).
+    ``out_activation='selu'`` fuses the engine's inter-layer SELU.
     """
     E, k, _ = a.shape
-    # fused first angle layer: Wa@a + (e@Ws)[angle_src] + (e@Wr) broadcast —
-    # sender/receiver projections once per edge instead of once per angle
     lyr = params["angle_mlp"]["layers"][0]
     cd = compute_dtype
     act = cd if cd != jnp.float32 else jnp.float32
@@ -283,22 +292,46 @@ def edge_mp(params: dict,
     fa, fe = a.shape[-1], e.shape[-1]
     wa, ws, wr = w1[:fa], w1[fa:fa + fe], w1[fa + fe:]
     ec = e.astype(cd)
-    h = (a.astype(cd) @ wa).astype(act)
-    es = (ec @ ws).astype(act)
-    gathered = None
-    if window_plan is not None and E % k == 0:
-        from ..ops import pallas_gather as pg
-        V = E // k
-        win, br = int(window_plan[4]), int(window_plan[5])
-        if pg.supports(V, E, win, br):
-            tab = es.reshape(V, k * es.shape[-1])
-            interpret = jax.default_backend() != "tpu"
-            gathered = pg.windowed_take(tab, window_plan,
+
+    def gather_es(es):
+        """``es[angle_src]`` as [E, k, H]; windowed MXU kernel when planned."""
+        if window_plan is not None and E % k == 0:
+            from ..ops import pallas_gather as pg
+            V = E // k
+            win, br = int(window_plan[4]), int(window_plan[5])
+            if pg.supports(V, E, win, br):
+                tab = es.reshape(V, k * es.shape[-1])
+                interpret = jax.default_backend() != "tpu"
+                return pg.windowed_take(tab, window_plan,
                                         interpret=interpret
                                         ).reshape(E, k, -1)
-    if gathered is None:
-        gathered = es[angle_src]
-    h = h + gathered
+        return es[angle_src]
+
+    if aggr == "mean" and fa % 128 == 0:
+        from ..config import pallas_enabled
+        if pallas_enabled():
+            from ..ops import pallas_gnblock as pg
+            if pg.supports(params["angle_mlp"], params["edge_mlp"], E,
+                           fa, fe, k):
+                from ..config import ablation
+                es = (ec @ ws).astype(act)
+                if ablation() == "zero_vsg":   # profiling only (wrong math)
+                    asg = jnp.zeros((E * k, es.shape[-1]), es.dtype)
+                else:
+                    asg = gather_es(es).reshape(E * k, -1)
+                interpret = jax.default_backend() != "tpu"
+                a_new, e_new = pg.gn_block_fused(
+                    params["angle_mlp"], params["edge_mlp"],
+                    a.reshape(E * k, fa), asg, e, k,
+                    compute_dtype=cd, interpret=interpret,
+                    out_activation=out_activation)
+                return e_new, a_new.reshape(E, k, -1)
+
+    # XLA path: fused first angle layer Wa@a + (e@Ws)[angle_src] + (e@Wr)
+    # broadcast — sender/receiver projections once per edge, not per angle
+    h = (a.astype(cd) @ wa).astype(act)
+    es = (ec @ ws).astype(act)
+    h = h + gather_es(es)
     h = h + (ec @ wr).astype(act)[:, None, :]
     a_new = apply_mlp_tail(params["angle_mlp"], h + lyr["b"].astype(act),
                            start=1, compute_dtype=cd)
@@ -306,6 +339,8 @@ def edge_mp(params: dict,
     e_new = apply_mlp(params["edge_mlp"],
                       jnp.concatenate([aggregated, e], axis=-1),
                       compute_dtype=cd)
+    if out_activation == "selu":
+        e_new, a_new = jax.nn.selu(e_new), jax.nn.selu(a_new)
     return e_new, a_new
 
 
@@ -353,8 +388,18 @@ def project_node_vectors_to_edges(node_vec: jnp.ndarray,
                                   unit_vec: jnp.ndarray) -> jnp.ndarray:
     """Project node vectors ``[V, F, 2]`` onto receiving edges' unit vectors
     → edge scalars ``[E, F]`` (cf. ``blocks.py:453-454``,
-    ``remus_gnn.py:124-126``)."""
-    g = node_vec[receivers]                      # [E, F, 2]
+    ``remus_gnn.py:124-126``).
+
+    In the canonical fixed-k layout ``receivers == repeat(arange(V), k)``,
+    so the receiver gather is a broadcast (and its backward a contiguous
+    reshape-sum instead of a ~57 ns/row scatter-add — BASELINE.md)."""
+    E = receivers.shape[0]
+    V, F, _ = node_vec.shape
+    if E % V == 0:
+        k = E // V
+        g = jnp.broadcast_to(node_vec[:, None], (V, k, F, 2)).reshape(E, F, 2)
+    else:
+        g = node_vec[receivers]                  # [E, F, 2]
     return (g * unit_vec[:, None, :]).sum(axis=-1)
 
 

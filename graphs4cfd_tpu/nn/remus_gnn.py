@@ -69,10 +69,20 @@ def remus_apply(params: dict, graph: Graph, plan, num_fields: int = 2,
         f_l = field if origin is None else field[origin]
         glob_l = graph.glob if origin is None else graph.glob[origin]
         omega_l = graph.omega if origin is None else graph.omega[origin]
-        # project the field window onto edge unit vectors (remus_gnn.py:124)
-        w = f_l[recv].reshape(recv.shape[0], -1, 2)       # [E, n_in, 2]
+        # project the field window onto edge unit vectors (remus_gnn.py:124).
+        # receivers are canonical (repeat(arange(V), k), architecture
+        # invariant) ⇒ every [recv] gather is a broadcast, not a ~57 ns/row
+        # dynamic gather (and its backward a reshape-sum, not a scatter)
+        E_l, V_l = recv.shape[0], f_l.shape[0]
+        k_l = E_l // V_l
+
+        def rep(x):
+            return jnp.broadcast_to(x[:, None], (V_l, k_l) + x.shape[1:]
+                                    ).reshape((E_l,) + x.shape[1:])
+
+        w = rep(f_l).reshape(E_l, -1, 2)                   # [E, n_in, 2]
         proj = (w * unit[:, None, :]).sum(axis=-1)         # [E, n_in]
-        e_in = jnp.concatenate([proj, glob_l[recv], omega_l[recv]], axis=-1)
+        e_in = jnp.concatenate([proj, rep(glob_l), rep(omega_l)], axis=-1)
         enc = "edge_encoder" if l == 1 else f"edge_encoder{l}"
         e[l] = _selu(apply_mlp(params[enc], e_in, compute_dtype=cd))
         aenc = "angle_encoder" if l == 1 else f"angle_encoder{l}"
@@ -94,9 +104,10 @@ def remus_apply(params: dict, graph: Graph, plan, num_fields: int = 2,
         wplan = _window_plan_of(graph) if l == 1 else None
 
         def one(p, e_l, a_l):
-            e_l, a_l = edge_mp(p, e_l, a_l, angle_src, compute_dtype=cd,
-                               window_plan=wplan)
-            return _selu(e_l), _selu(a_l)
+            # inter-layer SELU fused into edge_mp (in-kernel on the fused
+            # Pallas path — saves an HBM roundtrip of the [E·k, H] angles)
+            return edge_mp(p, e_l, a_l, angle_src, compute_dtype=cd,
+                           window_plan=wplan, out_activation="selu")
 
         trees = [params[n] for n in names]
         structs = {jax.tree_util.tree_structure(t) for t in trees}

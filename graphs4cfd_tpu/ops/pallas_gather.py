@@ -34,8 +34,14 @@ def _onehot(lidx, block_rows, window, dtype):
     return (lidx == iota).astype(dtype)
 
 
-def _fwd_kernel(window, block_rows, out_dtype,
+def _fwd_kernel(window, block_rows, stride, out_dtype,
                 starts_ref, lidx_ref, tab_hbm, out_ref, win, sem):
+    # NB: incremental window maintenance (DMA only the stride new rows per
+    # block, sliding the VMEM window) was tried for rolling plans and
+    # REGRESSED the MuS step 46.3→48.2 ms on TPU v5e — the predicated
+    # DMA chains + VMEM slide cost more than the full-window DMA they
+    # replace (BASELINE.md, parked results).  Full-window DMA per block:
+    del stride
     b = pl.program_id(0)
     start = pl.multiple_of(starts_ref[b], 8)  # plan rounds starts to 8
     dma = pltpu.make_async_copy(tab_hbm.at[pl.ds(start, window), :],
@@ -48,7 +54,7 @@ def _fwd_kernel(window, block_rows, out_dtype,
                          ).astype(out_dtype)
 
 
-def _bwd_kernel(window, block_rows, starts_ref, lidx_ref, ct_ref,
+def _bwd_kernel(window, block_rows, stride, starts_ref, lidx_ref, ct_ref,
                 dtab_hbm_in, dtab_hbm, win, sem_in, sem_out):
     # dtab_hbm_in is aliased to dtab_hbm (zeros-initialised f32 table);
     # sequential grid makes the read-modify-write race-free.
@@ -71,16 +77,58 @@ def _bwd_kernel(window, block_rows, starts_ref, lidx_ref, ct_ref,
     wr.wait()
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _bwd_kernel_rolling(window, block_rows, stride, starts_ref, lidx_ref,
+                        ct_ref, dtab_hbm, acc, sem):
+    """Rolling-accumulator transpose: monotone stride plans let the window
+    cotangent live in a persistent VMEM accumulator; each stride-chunk of
+    rows is flushed to HBM exactly once when the window slides past it
+    (vs. a window-wide read-modify-write DMA per block)."""
+    b = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    start = pl.multiple_of(starts_ref[b], 8)
+    prev = pl.multiple_of(starts_ref[jnp.maximum(b - 1, 0)], 8)
+    shift = start - prev
+    flush = pltpu.make_async_copy(acc.at[pl.ds(0, stride), :],
+                                  dtab_hbm.at[pl.ds(prev, stride), :], sem)
+
+    @pl.when(b == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    @pl.when(shift > 0)
+    def _flush_start():
+        flush.start()
+
+    ct = ct_ref[:]
+    oh = _onehot(lidx_ref[:], block_rows, window, ct.dtype)
+    upd = jnp.dot(oh.T, ct, preferred_element_type=jnp.float32)
+
+    @pl.when(shift > 0)
+    def _slide():
+        flush.wait()
+        acc[0:window - stride, :] = acc[stride:window, :]
+        acc[window - stride:window, :] = jnp.zeros(
+            (stride, acc.shape[1]), acc.dtype)
+    acc[:] += upd
+
+    @pl.when(b == nsteps - 1)
+    def _flush_tail():
+        fin = pltpu.make_async_copy(
+            acc, dtab_hbm.at[pl.ds(start, window), :], sem)
+        fin.start()
+        fin.wait()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _windowed_take(table, lidx, starts, exc_pos, exc_idx,
-                   window, block_rows, interpret):
+                   window, block_rows, interpret, stride):
     out, _ = _wt_fwd(table, lidx, starts, exc_pos, exc_idx,
-                     window, block_rows, interpret)
+                     window, block_rows, interpret, stride)
     return out
 
 
 def _wt_fwd(table, lidx, starts, exc_pos, exc_idx,
-            window, block_rows, interpret):
+            window, block_rows, interpret, stride=0):
     M = lidx.shape[0]
     H = table.shape[1]
     nblocks = M // block_rows
@@ -97,7 +145,8 @@ def _wt_fwd(table, lidx, starts, exc_pos, exc_idx,
         scratch_shapes=[pltpu.VMEM((window, H), table.dtype),
                         pltpu.SemaphoreType.DMA(())],
     )
-    kernel = functools.partial(_fwd_kernel, window, block_rows, table.dtype)
+    kernel = functools.partial(_fwd_kernel, window, block_rows, stride,
+                               table.dtype)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, H), table.dtype),
@@ -112,45 +161,56 @@ def _wt_fwd(table, lidx, starts, exc_pos, exc_idx,
 
 
 def _wt_vjp_fwd(table, lidx, starts, exc_pos, exc_idx,
-                window, block_rows, interpret):
+                window, block_rows, interpret, stride):
     return _wt_fwd(table, lidx, starts, exc_pos, exc_idx,
-                   window, block_rows, interpret)
+                   window, block_rows, interpret, stride)
 
 
-def _wt_vjp_bwd(window, block_rows, interpret, res, ct):
+def _wt_vjp_bwd(window, block_rows, interpret, stride, res, ct):
     N, lidx, starts, exc_pos, exc_idx = res
     M, H = ct.shape
     nblocks = M // block_rows
+    rolling = stride > 0
     # exception rows were overwritten in the forward, so their kernel-path
     # contribution must be zero: miss rows already have lidx == window
     # (zero one-hot row), and their true contribution flows through the
     # scatter-add below.
+    in_specs = [
+        pl.BlockSpec((block_rows, 1), lambda b, s: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, H), lambda b, s: (b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch = [pltpu.VMEM((window, H), jnp.float32),
+               pltpu.SemaphoreType.DMA(())]
+    if rolling:
+        # every table row is flushed exactly once → no zeros alias input
+        kernel = functools.partial(_bwd_kernel_rolling, window, block_rows,
+                                   stride)
+        operands = (starts, lidx, ct)
+        aliases = {}
+    else:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.append(pltpu.SemaphoreType.DMA(()))
+        kernel = functools.partial(_bwd_kernel, window, block_rows, stride)
+        operands = (starts, lidx, ct, jnp.zeros((N, H), jnp.float32))
+        aliases = {3: 0}   # zeros table -> output (after the scalar-
+        # prefetch operand, inputs are: lidx, ct, zeros)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((block_rows, 1), lambda b, s: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, H), lambda b, s: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.VMEM((window, H), jnp.float32),
-                        pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=scratch,
     )
-    kernel = functools.partial(_bwd_kernel, window, block_rows)
-    zeros = jnp.zeros((N, H), jnp.float32)
     dtab = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, H), jnp.float32),
-        input_output_aliases={3: 0},   # zeros table -> output (after the
-        # scalar-prefetch operand, inputs are: lidx, ct, zeros)
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(starts, lidx, ct, zeros)
+    )(*operands)
     # exception rows: scatter-add their cotangent (pad exc_idx == N drops)
     ct_exc = jnp.take(ct.astype(jnp.float32), exc_pos, axis=0, mode="clip")
     live = (exc_pos < M)[:, None].astype(jnp.float32)
@@ -170,8 +230,9 @@ def windowed_take(table: jnp.ndarray, plan, *,
     flows to ``table`` only.
     """
     starts, lidx, exc_pos, exc_idx, window, block_rows = plan[:6]
+    stride = int(plan[8]) if len(plan) > 8 and plan[8] is not None else 0
     return _windowed_take(table, lidx, starts, exc_pos, exc_idx,
-                          int(window), int(block_rows), interpret)
+                          int(window), int(block_rows), interpret, stride)
 
 
 def supports(table_rows: int, m: int, window: int, block_rows: int) -> bool:

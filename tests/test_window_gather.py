@@ -87,6 +87,26 @@ def _device_plan(plan):
             plan.stride)
 
 
+def test_windowed_take_rolling(rng):
+    """Standalone windowed_take with a rolling (stride) plan: forward must
+    stay bit-exact and the rolling-accumulator VJP must match the plain
+    gather transpose."""
+    table, idx, plan = _mk(rng, N=1024, M=4096, H=64, block_rows=512,
+                           window=512, stride=128, spread=150)
+    assert plan.stride == 128
+    dp = _device_plan(plan)
+    out = windowed_take(jnp.asarray(table), dp, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), table[idx])
+
+    g = jnp.asarray(rng.normal(size=(4096, 64)).astype(np.float32))
+    gf = jax.grad(lambda t: (windowed_take(t, dp, interpret=True)
+                             * g).sum())(jnp.asarray(table))
+    gr = jax.grad(lambda t: (t[idx] * g).sum())(jnp.asarray(table))
+    # rolling accumulation reassociates the f32 sums → not bit-identical
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_rolling_plan_monotone(rng):
     """stride-mode starts must be monotone with diffs in {0, stride} and
     still reproduce the exact gather."""
@@ -220,6 +240,63 @@ def test_edge_mp_with_window_plan(rng):
                     jax.tree_util.tree_leaves(gw)):
         np.testing.assert_allclose(np.asarray(y), np.asarray(x),
                                    rtol=2e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("stride", [0, 128])
+def test_edge_mp_fused_matches(rng, stride):
+    """edge_mp through the fused GN-block kernel (EdgeMP ≡ GN block on the
+    line graph) must match the XLA path, values and gradients, with and
+    without a rolling window plan (interpret)."""
+    from graphs4cfd_tpu.nn import blocks
+    from graphs4cfd_tpu.nn.mlp import init_mlp
+    from graphs4cfd_tpu import config as g4c_config
+
+    V, k, H = 512, 4, 128
+    _, senders, plan = _mk(rng, N=V, M=V * k, H=H, block_rows=256,
+                           window=256, spread=60, stride=stride)
+    dp = _device_plan(plan)
+    E = V * k
+    angle_src = (senders.astype(np.int64)[:, None] * k
+                 + np.arange(k)[None, :]).astype(np.int32)
+    e = jnp.asarray(rng.normal(size=(E, H)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(E, k, H)).astype(np.float32))
+    params = {"angle_mlp": init_mlp(jax.random.key(0), 3 * H,
+                                    (H, H), True),
+              "edge_mlp": init_mlp(jax.random.key(1), 2 * H, (H, H), True)}
+
+    def run(p, e, a, wp):
+        return blocks.edge_mp(p, e, a, jnp.asarray(angle_src),
+                              window_plan=wp, out_activation="selu")
+
+    old = g4c_config.use_pallas
+    g4c_config.use_pallas = False
+    try:
+        rv, ra = run(params, e, a, None)
+        g4c_config.use_pallas = True
+        for wp in (None, dp):
+            wv, wa = run(params, e, a, wp)
+            np.testing.assert_allclose(np.asarray(wv), np.asarray(rv),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(wa), np.asarray(ra),
+                                       rtol=1e-5, atol=1e-5)
+
+        g_e = jnp.asarray(rng.normal(size=rv.shape).astype(np.float32))
+        g_a = jnp.asarray(rng.normal(size=ra.shape).astype(np.float32))
+
+        def loss(p, e, a, wp):
+            ev, av = run(p, e, a, wp)
+            return (ev * g_e).sum() + (av * g_a).sum()
+
+        g4c_config.use_pallas = False
+        gr = jax.grad(loss, argnums=(0, 1, 2))(params, e, a, None)
+        g4c_config.use_pallas = True
+        gw = jax.grad(loss, argnums=(0, 1, 2))(params, e, a, dp)
+        for x, y in zip(jax.tree_util.tree_leaves(gr),
+                        jax.tree_util.tree_leaves(gw)):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       rtol=2e-3, atol=5e-4)
+    finally:
+        g4c_config.use_pallas = old
 
 
 def test_blocked_exceptions_consistent(rng):
