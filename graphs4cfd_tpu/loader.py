@@ -32,7 +32,7 @@ from .graph import Graph
 #: level-1 node-space arrays that concatenate verbatim
 _L1_NODE_KEYS = ("field", "target", "omega", "loc", "glob", "bound")
 #: static (non-array) keys that must agree across samples
-_STATIC_KEYS_RE = re.compile(r"^(fixed_k(_\d)?|num_levels|interp_k)$")
+_STATIC_KEYS_RE = re.compile(r"^(fixed_k(_\d)?|num_levels|interp_k|wg_pref)$")
 
 
 def _suffix_level(key: str) -> int:
@@ -85,7 +85,8 @@ def _round_up(n: int, mult: int) -> int:
 
 def _add_window_gather_plan(out: dict, num_nodes: int, k: int,
                             exc_pad: Optional[int] = None,
-                            blk_pad: Optional[int] = None) -> None:
+                            blk_pad: Optional[int] = None,
+                            pref: Optional[tuple] = None) -> None:
     """Attach the windowed-gather plan for the level-1 sender gather.
 
     Enables the one-hot MXU gather (``ops.pallas_gather``) on the MP hot
@@ -99,9 +100,13 @@ def _add_window_gather_plan(out: dict, num_nodes: int, k: int,
     # enough that the fused GN backward's VMEM working set and the
     # overlapping dvs read-modify-write windows stay cheap, large enough
     # that out-of-window exceptions stay rare after SpatialSort
-    window = int(os.environ.get("GRAPHS4CFD_GATHER_WINDOW", "512"))
+    # a graph-build transform may pin its own (window, block) via the
+    # static key ``wg_pref`` (e.g. REMuS, whose optimum differs from the
+    # MuS/gMuS one); env vars still override for sweeps
+    pw, pb = pref if pref is not None else (512, 128)
+    window = int(os.environ.get("GRAPHS4CFD_GATHER_WINDOW", str(pw)))
     E = out["senders"].shape[0]
-    b = int(os.environ.get("GRAPHS4CFD_GATHER_BLOCK", "128"))
+    b = int(os.environ.get("GRAPHS4CFD_GATHER_BLOCK", str(pb)))
     while b > 1 and num_nodes % b:
         b //= 2
     block_rows = k * b
@@ -239,7 +244,8 @@ def collate(graphs: Sequence[Graph],
     out.update(static)
     if static.get("fixed_k") is not None and "senders" in out:
         _add_window_gather_plan(out, padded[("node", 1)],
-                                static["fixed_k"])
+                                static["fixed_k"],
+                                pref=static.get("wg_pref"))
     return Graph(data=out)
 
 
@@ -261,7 +267,8 @@ def collate_sharded(graphs: Sequence[Graph], num_shards: int,
     # per-shard gather plans go stale once shards are re-padded below (and
     # their exception buffers may differ in size) — rebuild them afterwards
     for s in shards:
-        for key in [k for k in s.data if k.startswith("wg_")]:
+        for key in [k for k in s.data
+                    if k.startswith("wg_") and k != "wg_pref"]:
             del s.data[key]
     # pad every shard to the max padded size per key
     out = {}
@@ -308,12 +315,13 @@ def collate_sharded(graphs: Sequence[Graph], num_shards: int,
     # rebuild gather plans per shard on the final padded senders, with a
     # common exception-buffer size so the shard arrays stack
     fixed_k = out.get("fixed_k", shards[0].data.get("fixed_k"))
+    wg_pref = out.get("wg_pref", shards[0].data.get("wg_pref"))
     if fixed_k is not None and "senders" in out:
         num_nodes = out["node_mask"].shape[1]
         per_shard = []
         for i in range(num_shards):
             d = {"senders": out["senders"][i]}
-            _add_window_gather_plan(d, num_nodes, fixed_k)
+            _add_window_gather_plan(d, num_nodes, fixed_k, pref=wg_pref)
             per_shard.append(d)
         if all("wg_starts" in d for d in per_shard):
             exc_pad = max(d["wg_exc_pos"].shape[0] for d in per_shard)
@@ -322,7 +330,8 @@ def collate_sharded(graphs: Sequence[Graph], num_shards: int,
             for i in range(num_shards):
                 d = {"senders": out["senders"][i]}
                 _add_window_gather_plan(d, num_nodes, fixed_k,
-                                        exc_pad=exc_pad, blk_pad=blk_pad)
+                                        exc_pad=exc_pad, blk_pad=blk_pad,
+                                        pref=wg_pref)
                 per_shard.append(d)
             for key in ("wg_starts", "wg_lidx", "wg_exc_pos", "wg_exc_idx",
                         "wg_exc_lpos", "wg_exc_nidx"):

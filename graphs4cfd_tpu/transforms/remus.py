@@ -70,6 +70,11 @@ class BuildRemusGraph:
         attr = self._scale(attr, 0)
         graph.senders, graph.receivers, graph.edge_attr = s, r, attr
         graph.fixed_k = k
+        # REMuS's angle-source gather (a node-sender row gather from the
+        # [V, k·H] edge table) prefers a wider plan than the MuS/gMuS
+        # optimum: (1024, 256) measured 124.5 vs 125.3 ms at (512, 128)
+        # on TPU v5e (BASELINE.md sweep); consumed by loader.collate
+        graph.data["wg_pref"] = (1024, 256)
         levels = [{"pos": pos, "senders": s, "receivers": r, "attr": attr,
                    "origin": np.arange(pos.shape[0], dtype=np.int32)}]
         for i in range(1, self.num_levels):

@@ -200,6 +200,51 @@ def test_collate_attaches_plan(rng, monkeypatch):
                                   table[np.asarray(batch.senders)])
 
 
+def test_collate_honors_wg_pref(rng):
+    """A graph-build transform can pin its own (window, block) via the
+    static ``wg_pref`` key (REMuS does); collate and collate_sharded must
+    honor it, and batches without it keep the (512, 128) default."""
+    from graphs4cfd_tpu.graph import Graph
+    from graphs4cfd_tpu import transforms as T
+    from graphs4cfd_tpu.loader import collate, collate_sharded
+
+    def sample(seed, pref):
+        r = np.random.default_rng(seed)
+        g = Graph()
+        g.pos = (r.random((1500, 2)) * np.array([4.0, 2.0])).astype(
+            np.float32)
+        g.field = r.normal(size=(1500, 3)).astype(np.float32)
+        for t in [T.SpatialSort(), T.ConnectKNN(k=6)]:
+            g = t(g)
+        if pref is not None:
+            g.data["wg_pref"] = pref
+        return g
+
+    gs = [sample(i, (1024, 256)) for i in range(4)]
+    b = collate(gs, node_bucket=512, edge_bucket=1024)
+    assert b.data["wg_window"] == 1024
+    assert b.data["wg_block_rows"] == 6 * 256
+    bs = collate_sharded(gs, 2, node_bucket=512, edge_bucket=1024)
+    assert bs.data["wg_window"] == 1024
+    assert bs.data["wg_block_rows"] == 6 * 256
+    b_def = collate([sample(i, None) for i in range(2)],
+                    node_bucket=512, edge_bucket=1024)
+    assert b_def.data["wg_window"] == 512
+    assert b_def.data["wg_block_rows"] == 6 * 128
+
+
+def test_remus_transform_sets_wg_pref(rng):
+    from graphs4cfd_tpu.graph import Graph
+    from graphs4cfd_tpu import transforms as T
+    r = np.random.default_rng(3)
+    g = Graph()
+    g.pos = (r.random((600, 2)) * np.array([4.0, 2.0])).astype(np.float32)
+    g.field = r.normal(size=(600, 2)).astype(np.float32)
+    g = T.SpatialSort()(g)
+    g = T.BuildRemusGraph(num_levels=1, k=5, scale_edge_length=(0.1,))(g)
+    assert g.data["wg_pref"] == (1024, 256)
+
+
 def test_edge_mp_with_window_plan(rng):
     """REMuS angle gather via the [V, k·H] reshape + windowed plan must
     match es[angle_src] exactly (values and grads)."""

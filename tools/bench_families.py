@@ -67,8 +67,24 @@ def main():
         return g
 
     results = []
+    only = os.environ.get("GRAPHS4CFD_BENCH_FAMILY", "")  # "", "gmus", "remus"
 
     # ---- gMuS 3-scale (NsCircle workload) ----------------------------------
+    if only in ("", "gmus"):
+        _bench_gmus(gfd, T, Compose, collate, GraphLoss, jnp,
+                    cloud, W, mp, results)
+    if only in ("", "remus"):
+        _bench_remus(gfd, T, Compose, collate, GraphLoss, jnp,
+                     cloud, W, emp, results)
+
+    for name, rate, dt in results:
+        print(json.dumps({"metric": name, "value": round(rate, 1),
+                          "unit": "edges/s",
+                          "step_ms": round(dt * 1e3, 2)}))
+
+
+def _bench_gmus(gfd, T, Compose, collate, GraphLoss, jnp, cloud, W, mp,
+                results):
     log("gMuS-GNN 3-scale, batch 8 x 5000 nodes, k=6")
     tf = Compose([T.SpatialSort(), T.GuillardCoarseningAndConnectKNN(
         k=[6, 6, 6], scale_edge_attr=(0.1, 0.25, 0.5)),
@@ -97,6 +113,9 @@ def main():
     results.append(("gmus3_train_edges_per_sec", edges / dt, dt))
     log(f"  gMuS: {dt*1e3:.1f} ms/step, {edges/dt:.3e} edges/s")
 
+
+def _bench_remus(gfd, T, Compose, collate, GraphLoss, jnp, cloud, W, emp,
+                 results):
     # ---- REMuS 3-scale (NsEllipse workload) --------------------------------
     log("REMuS-GNN 3-scale, batch 4 x 5000 nodes, k=5")
     tf = Compose([T.SpatialSort(),
@@ -131,11 +150,6 @@ def main():
     edges = int(np.asarray(batch.edge_mask).sum())
     results.append(("remus3_train_edges_per_sec", edges / dt, dt))
     log(f"  REMuS: {dt*1e3:.1f} ms/step, {edges/dt:.3e} edges/s")
-
-    for name, rate, dt in results:
-        print(json.dumps({"metric": name, "value": round(rate, 1),
-                          "unit": "edges/s",
-                          "step_ms": round(dt * 1e3, 2)}))
 
 
 if __name__ == "__main__":
