@@ -32,7 +32,8 @@ from .graph import Graph
 #: level-1 node-space arrays that concatenate verbatim
 _L1_NODE_KEYS = ("field", "target", "omega", "loc", "glob", "bound")
 #: static (non-array) keys that must agree across samples
-_STATIC_KEYS_RE = re.compile(r"^(fixed_k(_\d)?|num_levels|interp_k|wg_pref)$")
+_STATIC_KEYS_RE = re.compile(
+    r"^(fixed_k(_\d)?|num_levels|interp_k|wg_pref|wgf_pref)$")
 
 
 def _suffix_level(key: str) -> int:
@@ -131,6 +132,51 @@ def _add_window_gather_plan(out: dict, num_nodes: int, k: int,
     out["wg_exc_lpos"] = plan.exc_lpos
     out["wg_exc_nidx"] = plan.exc_nidx
     out["wg_stride"] = plan.stride
+
+
+def _add_folded_gather_plan(out: dict, num_nodes: int, k: int,
+                            exc_pad: Optional[int] = None,
+                            blk_pad: Optional[int] = None,
+                            pref: Optional[tuple] = None) -> None:
+    """Attach the edge-row-blocked plan for the folded line-graph EdgeMP
+    kernel (``ops.pallas_edgemp``; REMuS level-1 angle chains).
+
+    Same planner as ``_add_window_gather_plan``, but the block is a small
+    run of edges (``k`` per node, ``block_nodes`` nodes) — the folded
+    kernel's [B, k·H] lane-blocked working set is k× wider per row than
+    the node-layout kernel's, so B stays small and the rolling-accumulator
+    stride equals ``block_nodes`` table rows.
+    """
+    import os
+    from .ops.window_plan import build_window_gather_plan
+    pw, pb = pref if pref is not None else (1024, 64)
+    window = int(os.environ.get("GRAPHS4CFD_FOLD_WINDOW", str(pw)))
+    b = int(os.environ.get("GRAPHS4CFD_FOLD_BLOCK", str(pb)))
+    while b > 1 and num_nodes % b:
+        b //= 2
+    block_rows = k * b
+    E = out["senders"].shape[0]
+    if num_nodes < window or E % block_rows:
+        return
+    kwargs = {}
+    if exc_pad is not None:
+        kwargs["min_exc_pad"] = exc_pad
+    if blk_pad is not None:
+        kwargs["min_blk_pad"] = blk_pad
+    plan = build_window_gather_plan(out["senders"], num_nodes,
+                                    block_rows=block_rows, window=window,
+                                    stride=b, **kwargs)
+    if plan is None:
+        return
+    out["wg_fold_starts"] = plan.starts
+    out["wg_fold_lidx"] = plan.lidx
+    out["wg_fold_exc_pos"] = plan.exc_pos
+    out["wg_fold_exc_idx"] = plan.exc_idx
+    out["wg_fold_window"] = plan.window
+    out["wg_fold_block_rows"] = plan.block_rows
+    out["wg_fold_exc_lpos"] = plan.exc_lpos
+    out["wg_fold_exc_nidx"] = plan.exc_nidx
+    out["wg_fold_stride"] = plan.stride
 
 
 def collate(graphs: Sequence[Graph],
@@ -246,6 +292,10 @@ def collate(graphs: Sequence[Graph],
         _add_window_gather_plan(out, padded[("node", 1)],
                                 static["fixed_k"],
                                 pref=static.get("wg_pref"))
+        if "angle_src" in out:         # REMuS: folded line-graph plan too
+            _add_folded_gather_plan(out, padded[("node", 1)],
+                                    static["fixed_k"],
+                                    pref=static.get("wgf_pref"))
     return Graph(data=out)
 
 

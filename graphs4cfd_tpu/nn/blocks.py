@@ -44,6 +44,19 @@ def window_plan_of(graph):
             d.get("wg_stride", 0))
 
 
+def folded_plan_of(graph):
+    """Extract the edge-row-blocked gather plan for the folded line-graph
+    EdgeMP kernel (``ops.pallas_edgemp``; attached by ``loader.collate``
+    for REMuS-style graphs).  None → fall back to the node-layout paths."""
+    if not graph.has("wg_fold_starts"):
+        return None
+    d = graph.data
+    return (d["wg_fold_starts"], d["wg_fold_lidx"], d["wg_fold_exc_pos"],
+            d["wg_fold_exc_idx"], d["wg_fold_window"],
+            d["wg_fold_block_rows"], d.get("wg_fold_exc_lpos"),
+            d.get("wg_fold_exc_nidx"), d.get("wg_fold_stride", 0))
+
+
 def _sender_gather(vs, senders, sender_sort, window_plan):
     """Gather sender projections; prefers the windowed one-hot MXU kernel
     (``ops.pallas_gather``) — XLA's dynamic row gather costs ~57 ns/row on
@@ -260,6 +273,7 @@ def edge_mp(params: dict,
             aggr: str = "mean",
             compute_dtype=jnp.float32,
             window_plan=None,
+            folded_plan=None,
             out_activation: Optional[str] = None
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """REMuS MP on the line graph (``EdgeMP.forward``, ``blocks.py:322-333``).
@@ -310,6 +324,22 @@ def edge_mp(params: dict,
     if aggr == "mean" and fa % 128 == 0:
         from ..config import pallas_enabled
         if pallas_enabled():
+            # folded-layout kernel: whole angle chain in [B, k·H] lane
+            # blocks, gather fused as the node-style one-hot matmul on the
+            # [V, k·H] table — no [E·k, H] asg materialisation at all
+            if folded_plan is not None and E % k == 0:
+                from ..ops import pallas_edgemp as pf
+                if pf.supports_folded(folded_plan, params["angle_mlp"],
+                                      params["edge_mlp"], E, E // k, k,
+                                      fa, fe):
+                    es = (ec @ ws).astype(act)
+                    tab = es.reshape(E // k, k * es.shape[-1])
+                    interpret = jax.default_backend() != "tpu"
+                    return pf.edge_mp_folded(
+                        params["angle_mlp"], params["edge_mlp"], a, tab,
+                        e, k, folded_plan, compute_dtype=cd,
+                        interpret=interpret,
+                        out_activation=out_activation)
             from ..ops import pallas_gnblock as pg
             if pg.supports(params["angle_mlp"], params["edge_mlp"], E,
                            fa, fe, k):

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from ..graph import Graph
 from .blocks import (edge_mp, down_edge_mp, up_edge_mp,
                      edge_scalar_to_node_vector,
-                     window_plan_of as _window_plan_of)
+                     window_plan_of as _window_plan_of,
+                     folded_plan_of as _folded_plan_of)
 from .mlp import apply_mlp
 from .model import GNN
 
@@ -100,14 +101,18 @@ def remus_apply(params: dict, graph: Graph, plan, num_fields: int = 2,
         lax.scan (compile-time optimisation; numerics unchanged)."""
         angle_src = graph.data[f"angle_src{_suffix(l)}"]
         # level-1 angle gather = node-sender gather from the [V, k·H]
-        # reshaped edge table → reuse the loader's windowed MXU plan
+        # reshaped edge table → reuse the loader's windowed MXU plan;
+        # the folded plan routes the whole chain through the folded
+        # line-graph kernel (ops.pallas_edgemp) when present
         wplan = _window_plan_of(graph) if l == 1 else None
+        fplan = _folded_plan_of(graph) if l == 1 else None
 
         def one(p, e_l, a_l):
             # inter-layer SELU fused into edge_mp (in-kernel on the fused
             # Pallas path — saves an HBM roundtrip of the [E·k, H] angles)
             return edge_mp(p, e_l, a_l, angle_src, compute_dtype=cd,
-                           window_plan=wplan, out_activation="selu")
+                           window_plan=wplan, folded_plan=fplan,
+                           out_activation="selu")
 
         trees = [params[n] for n in names]
         structs = {jax.tree_util.tree_structure(t) for t in trees}
