@@ -8,18 +8,19 @@ small); each device owns one block per level plus the edges whose
 *receiver* it owns (receiver-sorted layout ⇒ a device's edges are one
 contiguous slab, exactly ``k·V_d`` rows on fixed-k levels).
 
-v1 communication pattern (exactness first):
-  * MP layer: ``all_gather`` node features over the ``graph`` axis, gather
-    senders globally, aggregate locally — receivers are always local.
+Communication pattern (halo-only; no full-feature all_gathers):
+  * MP layer: boundary sender (and, on variable-degree coarse levels,
+    receiver) rows move via one ``all_to_all`` from precomputed per-pair
+    send lists; gathers go through the local ``concat([own, recv])`` table.
   * DownMP / pool_edges: partial segment-sums into the full coarse array,
     one fused reduce-scatter over the axis (``psum_scatter`` on TPU ICI;
     psum + own-block slice on the CPU virtual mesh) — see ``_scatter_mean``.
-  * UpMP: ``all_gather`` coarse features, per-fine-node work is local.
+  * UpMP: boundary coarse parent rows via the same halo ``all_to_all``.
 
 Partitioned == unpartitioned is an exact invariant (halo exchange is pure
-data movement) — asserted in tests on a virtual 8-device mesh.  A
-halo-only ``ppermute`` exchange (overlapped with local aggregation) is the
-planned optimisation on top of this correctness baseline.
+data movement) — asserted in tests on a virtual 8-device mesh.  Full
+``all_gather`` fallbacks remain for graphs partitioned without halo
+tables.
 """
 from __future__ import annotations
 
@@ -48,7 +49,8 @@ def _sort_perm(pos: np.ndarray) -> np.ndarray:
     return np.lexsort((pos[:, 1], pos[:, 0])).astype(np.int32)
 
 
-def partition_graph(graph: Graph, num_parts: int) -> Tuple[Graph, dict]:
+def partition_graph(graph: Graph, num_parts: int,
+                    halo_max_frac: float = 0.5) -> Tuple[Graph, dict]:
     """Partition a collated (single- or multi-level MuS) graph into
     ``num_parts`` blocks with a leading shard axis.
 
@@ -108,42 +110,44 @@ def partition_graph(graph: Graph, num_parts: int) -> Tuple[Graph, dict]:
             elif base == "edge_f2c" and kl == l:
                 v = g.data[key]
                 g.data[key] = np.where(v >= 0, eperm_inv[v], -1)
-    # ---- level-1 halo-exchange tables -------------------------------------
-    # For each device d: the remote sender rows its edges touch, grouped by
-    # owner o, become per-pair send lists (padded to the max pair size).
-    # Device-side, one all_to_all moves exactly the boundary rows instead of
-    # an all_gather of every node feature (the ring/halo-exchange analogue
-    # of sequence parallelism — SURVEY §5 long-context).
-    n1 = g.data["pos"].shape[0]
-    block = n1 // num_parts
-    senders = g.data["senders"]
-    e_per = senders.shape[0] // num_parts
-    send_lists = [[[] for _ in range(num_parts)] for _ in range(num_parts)]
-    for d in range(num_parts):
-        es = senders[d * e_per:(d + 1) * e_per]
-        remote = np.unique(es[(es < d * block) | (es >= (d + 1) * block)])
-        for s in remote:
-            send_lists[s // block][d].append(int(s))
-    pmax = max(1, max(len(send_lists[o][d]) for o in range(num_parts)
-                      for d in range(num_parts)))
-    halo_send = np.zeros((num_parts, num_parts, pmax), np.int32)
-    # map: global sender id -> local-table index on device d
-    edge_lidx = np.zeros((num_parts, e_per), np.int32)
-    for o in range(num_parts):
-        for d in range(num_parts):
-            rows = send_lists[o][d]
-            halo_send[o, d, :len(rows)] = np.asarray(rows, np.int32) \
-                - o * block  # owner-local row ids
-    for d in range(num_parts):
-        lut = {}
-        for o in range(num_parts):
-            for p, s in enumerate(send_lists[o][d]):
-                lut[s] = block + o * pmax + p
-        es = senders[d * e_per:(d + 1) * e_per]
-        local = (es >= d * block) & (es < (d + 1) * block)
-        edge_lidx[d] = np.where(local, es - d * block,
-                                np.asarray([lut.get(int(s), 0)
-                                            for s in es], np.int32))
+    # ---- halo-exchange tables ----------------------------------------------
+    # For each gather of partitioned node features, the remote rows each
+    # device touches, grouped by owner, become per-pair send lists (padded
+    # to the max pair size).  Device-side, one all_to_all moves exactly the
+    # boundary rows instead of an all_gather of every node feature (the
+    # ring/halo-exchange analogue of sequence parallelism — SURVEY §5
+    # long-context).  Tables are built for (a) level-1 edge senders,
+    # (b) coarse-level edge senders AND receivers (one shared table per
+    # level — even edge slabs cross node blocks there), (c) UpMP parent
+    # gathers of coarse features by fine rows.
+    # A table is emitted only when it beats the all_gather it replaces:
+    # the all_to_all moves ≤ D·pmax rows per device vs ~V_l for a full
+    # gather.  ``halo_max_frac`` sets the required advantage (default:
+    # halo traffic ≤ half the level's rows); tiny coarse levels whose
+    # boundary is most of the block correctly fall back to all_gather.
+    halos = {}  # info: table key -> pmax
+    extra = {}
+
+    def emit(table_key, idx_blocks, n_rows, lidx_keys):
+        hs, lidxs, pmax = _halo_tables(idx_blocks, n_rows // num_parts,
+                                       num_parts)
+        if num_parts * pmax > halo_max_frac * n_rows:
+            return
+        halos[table_key] = pmax
+        extra[table_key] = hs
+        extra.update(zip(lidx_keys, lidxs))
+
+    emit("halo_send", (g.data["senders"].reshape(num_parts, -1),),
+         g.data["pos"].shape[0], ["edge_lidx"])
+    for l in levels[1:]:
+        nl = g.data[f"pos_{l}"].shape[0]
+        emit(f"halo_send_{l}",
+             (g.data[f"senders_{l}"].reshape(num_parts, -1),
+              g.data[f"receivers_{l}"].reshape(num_parts, -1)),
+             nl, [f"slidx_{l}", f"rlidx_{l}"])
+        emit(f"halo_send_p{l}",
+             (g.data[f"parent_{l}"].reshape(num_parts, -1),),
+             nl, [f"plidx_{l}"])
     # ---- split into blocks with a leading shard axis ----------------------
     out = {}
     for key, v in g.data.items():
@@ -152,10 +156,47 @@ def partition_graph(graph: Graph, num_parts: int) -> Tuple[Graph, dict]:
             continue
         out[key] = v.reshape((num_parts, v.shape[0] // num_parts)
                              + v.shape[1:])
-    out["halo_send"] = halo_send        # [D(shard), D, Pmax]
-    out["edge_lidx"] = edge_lidx        # [D(shard), E_d]
+    out.update(extra)                   # [D(shard), D, Pmax] / [D(shard), M]
     out["gp_num_parts"] = num_parts
-    return Graph(data=out), {"perms": perms, "pmax": pmax}
+    return Graph(data=out), {"perms": perms, "pmax": halos}
+
+
+def _halo_tables(idx_blocks: Tuple[np.ndarray, ...], block: int,
+                 num_parts: int):
+    """Gather-halo tables for arbitrary global row indices.
+
+    ``idx_blocks``: one or more ``[D, M_i]`` arrays of global row ids into
+    a node space partitioned into contiguous blocks of ``block`` rows (all
+    sharing one halo table).  Returns ``(halo_send [D, D, pmax]`` —
+    owner-local rows owner ``o`` sends to ``d`` — ``, lidxs, pmax)`` where
+    each ``lidx [D, M_i]`` maps the index to its position in device d's
+    local table ``concat([own_block, recv])`` (recv rows owner-major)."""
+    D = num_parts
+    send_lists = [[[] for _ in range(D)] for _ in range(D)]
+    for d in range(D):
+        es = np.concatenate([b[d] for b in idx_blocks])
+        remote = np.unique(es[(es < d * block) | (es >= (d + 1) * block)])
+        for s in remote:
+            send_lists[s // block][d].append(int(s))
+    pmax = max(1, max(len(send_lists[o][d])
+                      for o in range(D) for d in range(D)))
+    halo_send = np.zeros((D, D, pmax), np.int32)
+    for o in range(D):
+        for d in range(D):
+            rows = send_lists[o][d]
+            halo_send[o, d, :len(rows)] = np.asarray(rows, np.int32) \
+                - o * block  # owner-local row ids
+    lidxs = [np.zeros_like(b, dtype=np.int32) for b in idx_blocks]
+    for d in range(D):
+        lut = {s: block + o * pmax + p
+               for o in range(D) for p, s in enumerate(send_lists[o][d])}
+        for b, lidx in zip(idx_blocks, lidxs):
+            es = b[d]
+            local = (es >= d * block) & (es < (d + 1) * block)
+            lidx[d] = np.where(local, es - d * block,
+                               np.asarray([lut.get(int(s), 0) for s in es],
+                                          np.int32))
+    return halo_send, lidxs, pmax
 
 
 # ------------------------------------------------------------------- device
@@ -214,16 +255,14 @@ def gp_mus_apply(params: dict, graph: Graph, plan, num_fields: int,
     def suf(l):
         return "" if l == 1 else f"_{l}"
 
-    def halo_gather(x_local):
+    def halo_table(x_local, key):
         """Exchange only boundary rows: per-pair send lists + one
-        all_to_all, then gather through the precomputed local table."""
-        halo_send = graph.data["halo_send"]          # [D, Pmax]
-        edge_lidx = graph.data["edge_lidx"]          # [E_d]
-        pmax = halo_send.shape[-1]
+        all_to_all; returns device d's gather table
+        ``concat([own block, received halo rows])``."""
+        halo_send = graph.data[key]                  # [D, Pmax]
         send_buf = x_local[halo_send.reshape(-1)]    # [D*Pmax, F]
         recv = jax.lax.all_to_all(send_buf, axis, 0, 0, tiled=True)
-        table = jnp.concatenate([x_local, recv], axis=0)
-        return table[edge_lidx]
+        return jnp.concatenate([x_local, recv], axis=0)
 
     def mp(name, v, e, l):
         s = suf(l)
@@ -234,8 +273,8 @@ def gp_mus_apply(params: dict, graph: Graph, plan, num_fields: int,
             # fixed-k slabs align with node blocks: receivers are local;
             # sender features cross partitions via halo exchange only
             recv_local = receivers_g - jax.lax.axis_index(axis) * n_local
-            e_in = jnp.concatenate([e, halo_gather(v), v[recv_local]],
-                                   axis=-1)
+            vs = halo_table(v, "halo_send")[graph.data["edge_lidx"]]
+            e_in = jnp.concatenate([e, vs, v[recv_local]], axis=-1)
             e_new = apply_mlp(params[name]["edge_mlp"], e_in,
                               compute_dtype=cd)
             aggr = e_new.reshape(n_local, fixed_k, -1).mean(axis=1)
@@ -249,10 +288,16 @@ def gp_mus_apply(params: dict, graph: Graph, plan, num_fields: int,
             aggr = e_new.reshape(n_local, fixed_k, -1).mean(axis=1)
         else:
             # variable-degree levels: even edge slabs cross node-block
-            # boundaries — aggregate globally, psum, slice the own block
-            v_full = jax.lax.all_gather(v, axis, tiled=True)
-            e_in = jnp.concatenate([e, v_full[senders], v_full[receivers_g]],
-                                   axis=-1)
+            # boundaries — halo-exchange boundary sender/receiver rows
+            # (one shared table), then reduce-scatter partial means
+            if graph.has(f"halo_send{s}"):
+                tab = halo_table(v, f"halo_send{s}")
+                vs = tab[graph.data[f"slidx{s}"]]
+                vr = tab[graph.data[f"rlidx{s}"]]
+            else:
+                v_full = jax.lax.all_gather(v, axis, tiled=True)
+                vs, vr = v_full[senders], v_full[receivers_g]
+            e_in = jnp.concatenate([e, vs, vr], axis=-1)
             e_new = apply_mlp(params[name]["edge_mlp"], e_in,
                               compute_dtype=cd)
             mask = graph.data[f"edge_mask{s}"]
@@ -287,10 +332,14 @@ def gp_mus_apply(params: dict, graph: Graph, plan, num_fields: int,
         elif op[0] == "up":
             _, name, src = op
             v_skip, e_skip = skips.pop()
-            parent_g = graph.data[f"parent_{src}"]
-            coarse_full = jax.lax.all_gather(v, axis, tiled=True)
+            if graph.has(f"halo_send_p{src}"):
+                vp = halo_table(v, f"halo_send_p{src}")[
+                    graph.data[f"plidx_{src}"]]
+            else:
+                parent_g = graph.data[f"parent_{src}"]
+                vp = jax.lax.all_gather(v, axis, tiled=True)[parent_g]
             x = jnp.concatenate([-graph.data[f"e_rel_{src}"],
-                                 coarse_full[parent_g], v_skip], axis=-1)
+                                 vp, v_skip], axis=-1)
             v = jnp.tanh(apply_mlp(params[name], x, compute_dtype=cd))
             e = e_skip
             level = src - 1
@@ -298,13 +347,37 @@ def gp_mus_apply(params: dict, graph: Graph, plan, num_fields: int,
     return graph.field[:, -num_fields:] + out
 
 
+def _halo_lidx_keys(table_key: str):
+    """The lidx arrays indexing through a halo table, and the node-space
+    array whose per-device block size anchors their local/halo split."""
+    if table_key == "halo_send":
+        return ["edge_lidx"], "pos"
+    m = re.match(r"^halo_send_p(\d)$", table_key)
+    if m:
+        return [f"plidx_{m.group(1)}"], f"pos_{m.group(1)}"
+    m = re.match(r"^halo_send_(\d)$", table_key)
+    return [f"slidx_{m.group(1)}", f"rlidx_{m.group(1)}"], f"pos_{m.group(1)}"
+
+
 def partition_batches(batches, num_parts: int):
     """Partition several collated batches (DP groups) ``num_parts``-ways
     each and stack into ``[num_groups, num_parts, ...]`` arrays — the input
     of the combined data×graph 2-axis mesh.  Halo tables are padded to a
-    common Pmax across groups."""
+    common Pmax (per table) across groups."""
     parts = [partition_graph(b, num_parts) for b in batches]
-    pmax = max(info["pmax"] for _, info in parts)
+    # keep only halo tables every group emitted (emission is per-group
+    # traffic-dependent); drop the others' tables and lidx arrays
+    table_keys = [k for k in parts[0][0].data
+                  if k.startswith("halo_send")
+                  and all(k in p.data for p, _ in parts)]
+    for p, _ in parts:
+        for k in [k for k in p.data if k.startswith("halo_send")
+                  and k not in table_keys]:
+            lidx_keys, _ = _halo_lidx_keys(k)
+            for key in [k] + lidx_keys:
+                p.data.pop(key, None)
+    pmaxes = {k: max(info["pmax"][k] for _, info in parts)
+              for k in table_keys}
     out = {}
     g0 = parts[0][0]
     for key in g0.data:
@@ -313,24 +386,28 @@ def partition_batches(batches, num_parts: int):
             assert all(v == vals[0] for v in vals)
             out[key] = vals[0]
             continue
-        if key == "halo_send":
-            vals = [np.pad(v, ((0, 0), (0, 0), (0, pmax - v.shape[-1])))
+        if key in pmaxes:
+            vals = [np.pad(v, ((0, 0), (0, 0),
+                               (0, pmaxes[key] - v.shape[-1])))
                     for v in vals]
         out[key] = np.stack(vals, axis=0)
-    # edge_lidx references halo slots at block + o*pmax_group + p; remap to
-    # the common pmax
+    # lidx arrays reference halo slots at block + o*pmax_group + p; remap
+    # each to its table's common pmax
     for gi, (p, info) in enumerate(parts):
-        old_pmax = info["pmax"]
-        if old_pmax == pmax:
-            continue
-        lidx = out["edge_lidx"][gi]
-        block = p.data["pos"].shape[1]
-        halo = lidx >= block
-        o = (lidx - block) // old_pmax
-        r = (lidx - block) % old_pmax
-        out["edge_lidx"][gi] = np.where(halo, block + o * pmax + r, lidx)
+        for tk in table_keys:
+            old_pmax, new_pmax = info["pmax"][tk], pmaxes[tk]
+            if old_pmax == new_pmax:
+                continue
+            lidx_keys, pos_key = _halo_lidx_keys(tk)
+            block = p.data[pos_key].shape[1]
+            for lk in lidx_keys:
+                lidx = out[lk][gi]
+                halo = lidx >= block
+                o = (lidx - block) // old_pmax
+                r = (lidx - block) % old_pmax
+                out[lk][gi] = np.where(halo, block + o * new_pmax + r, lidx)
     return Graph(data=out), {"perms": [info["perms"] for _, info in parts],
-                             "pmax": pmax}
+                             "pmax": pmaxes}
 
 
 def make_dp_gp_forward(model, mesh: Mesh):

@@ -97,6 +97,24 @@ def test_graph_parallel_exact_vs_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_graph_parallel_halo_and_allgather_paths_agree():
+    """Forcing every halo table on vs none at all must give the same
+    forward — pins both communication branches regardless of the
+    traffic-based emission rule."""
+    model = g4c.nn.MuSGNN(arch=mus_arch(5, 1), seed=2)
+    batch = collate(_samples(3, [430]), node_bucket=64, edge_bucket=128)
+    mesh = make_mesh(num_data=1, num_graph=8)
+    fwd = make_gp_forward(model, mesh)
+    outs = []
+    for frac in (0.0, 1e9):
+        sharded, info = partition_graph(batch, 8, halo_max_frac=frac)
+        outs.append(np.asarray(fwd(model.params, sharded.to_device())))
+    emitted = [k for k in sharded.data if k.startswith("halo_send")]
+    assert "halo_send" in emitted and "halo_send_p2" in emitted
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_graph_parallel_train_step_matches_single_device():
     """One gp train step == one single-device train step (params close)."""
     from graphs4cfd_tpu.parallel import make_gp_train_step
