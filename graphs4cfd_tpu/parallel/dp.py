@@ -37,6 +37,14 @@ def make_dp_train_step(apply_fn, criterion, num_fields: int, n_out: int,
     """
     opt = optax.scale_by_adam()
 
+    # exact-DP protocol: a criterion exposing ``distributed`` computes the
+    # global-batch loss (psum of per-term numerators/denominators) inside
+    # the per-device loss, so each device's backward yields its *partial*
+    # contribution to the global gradient and one psum reconstructs it —
+    # DP == single-device bit-for-bit up to reduction order, regardless of
+    # unequal valid-node counts across shards
+    dist = getattr(criterion, "distributed", None)
+
     def per_device(params, opt_state, arrays: dict, lr, clip_on, *,
                    statics: dict):
         # strip the leading size-1 shard axis; rebuild the Graph
@@ -52,13 +60,24 @@ def make_dp_train_step(apply_fn, criterion, num_fields: int, n_out: int,
                 pred = apply_fn(p, g)
                 tgt = jax.lax.dynamic_slice_in_dim(
                     target, t * num_fields, num_fields, axis=1)
+                if dist is not None:
+                    return dist(g, pred, tgt, "data"), pred
                 return criterion(g, pred, tgt), pred
 
             (loss, pred), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
-            # cross-device gradient/loss reduction per rollout step
-            grads = jax.lax.pmean(grads, "data")
-            loss = jax.lax.pmean(loss, "data")
+            # cross-device gradient reduction per rollout step
+            if dist is not None:
+                # loss is already global.  With check_vma=False the
+                # shard_map transpose turns the in-loss psum back into a
+                # psum, so each device's backward already yields D× its
+                # partial contribution; pmean therefore reconstructs the
+                # exact global-batch gradient (psum of partials).
+                grads = jax.lax.pmean(grads, "data")
+            else:
+                # legacy criteria: average of per-shard means
+                grads = jax.lax.pmean(grads, "data")
+                loss = jax.lax.pmean(loss, "data")
             gnorm = grad_norm2(grads)
             if grad_clip_limit is not None:
                 scale = jnp.where(

@@ -447,6 +447,11 @@ def make_gp_train_step(model, criterion, mesh: Mesh, n_out: int = 1,
     from ..nn.model import grad_norm2
     opt = optax.scale_by_adam()
     num_fields = model.num_fields
+    # distributed-criterion protocol (nn.losses.GraphLoss.distributed):
+    # psum the per-term numerators/denominators over the graph axis so the
+    # partitioned loss — including the λ_d Dirichlet L1 term every Ns
+    # config uses — equals the single-device criterion exactly
+    dist = getattr(criterion, "distributed", None)
 
     def per_device_loss(params, arrays, statics, t):
         arrays = {k: v[0] for k, v in arrays.items()}
@@ -455,13 +460,15 @@ def make_gp_train_step(model, criterion, mesh: Mesh, n_out: int = 1,
                             axis=axis, compute_dtype=model.compute_dtype)
         tgt = jax.lax.dynamic_slice_in_dim(graph.target, t * num_fields,
                                            num_fields, axis=1)
-        mask = graph.node_mask
-        sq = jnp.where(mask[:, None], (pred - tgt) ** 2, 0.0)
-        local_sum = sq.sum()
-        local_cnt = mask.sum() * num_fields
-        total = jax.lax.psum(local_sum, axis)
-        cnt = jax.lax.psum(local_cnt, axis)
-        return total / jnp.maximum(cnt, 1), pred[None]
+        if dist is not None:
+            loss = dist(graph, pred, tgt, axis)
+        else:
+            mask = graph.node_mask
+            sq = jnp.where(mask[:, None], (pred - tgt) ** 2, 0.0)
+            total = jax.lax.psum(sq.sum(), axis)
+            cnt = jax.lax.psum(mask.sum() * num_fields, axis)
+            loss = total / jnp.maximum(cnt, 1)
+        return loss, pred[None]
 
     def step(params, opt_state, graph: Graph, lr, clip_on):
         arrays, statics = graph.arrays(), graph.statics()

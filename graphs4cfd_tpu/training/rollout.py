@@ -33,8 +33,13 @@ def solve(model, graph: Graph, n_out: int) -> jnp.ndarray:
     Matches ``GNN.solve`` semantics: predictions are fed back through the
     rolled field window; returns ``[V, num_fields*n_out]``.  The input
     graph is not mutated (functional — no field save/restore dance).
+    A list/tuple of graphs is batched first, like the reference's
+    ``Batch.from_data_list`` path (``model.py:308-311``).
     """
     assert n_out > 0, "n_out must be greater than 0."
+    if isinstance(graph, (list, tuple)):
+        from ..loader import collate
+        graph = collate([g.numpy() for g in graph]).to_device()
     cache = getattr(model, "_solve_cache", None)
     if cache is None:
         cache = model._solve_cache = {}

@@ -32,6 +32,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..graph import Graph
@@ -208,7 +209,10 @@ def fit(model, train_config: TrainConfig, train_loader,
                     jnp.bool_(clip_on))
             training_loss += float(loss)
             gradients_norm += float(gnorm)
-            edges += graph.num_edges * n_out
+            # valid (unpadded) edges only, matching bench.py's meter
+            em = graph.get("edge_mask")
+            edges += (int(np.asarray(em).sum()) if em is not None
+                      else graph.num_edges) * n_out
             num_iter += 1
         training_loss /= max(num_iter, 1)
         gradients_norm /= max(num_iter, 1)

@@ -79,6 +79,12 @@ def main():
     ap.add_argument("--width", type=int, default=64)
     ap.add_argument("--nmax", type=int, default=4)
     ap.add_argument("--sims", type=int, default=128)
+    ap.add_argument("--rollout", type=int, default=50)
+    ap.add_argument("--patience", type=int, default=15)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from ./synthadv.chk if present")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training; evaluate ./synthadv.chk")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -117,45 +123,56 @@ def main():
     val_ds = SyntheticAdv(4, args.n_nodes, n_out_max, eval_transform,
                           seed=99)
     cfg = gfd.nn.TrainConfig(
-        name="synthadv", folder=".", tensor_board=None, chk_interval=20,
+        name="synthadv", folder=".", tensor_board=None, chk_interval=10,
+        checkpoint="./synthadv.chk" if args.resume else None,
         training_loss=gfd.nn.GraphLoss(), validation_loss=gfd.nn.GraphLoss(),
         epochs=args.epochs,
         num_steps=[n for n in (1, 2, 4, 6, 8, 10) if n <= args.nmax],
         add_steps={"tolerance": 0.03, "loss": "training"},
         batch_size=8, lr=2e-4, grad_clip={"epoch": 0, "limit": 1},
-        scheduler={"factor": 0.5, "patience": 15, "loss": "training"},
+        scheduler={"factor": 0.5, "patience": args.patience,
+                   "loss": "training"},
         stopping=1e-8, mixed_precision=not args.cpu)
     model = gfd.nn.AdvTwoScaleGNN(
         arch=arch, scan_layers=True,
         compute_dtype=jnp.bfloat16 if not args.cpu else jnp.float32)
     print(f"params: {model.num_params}", file=sys.stderr)
     t0 = time.time()
-    train_loader = DataLoader(train_ds, batch_size=8, shuffle=True,
-                              node_bucket=1024 * 8, edge_bucket=1024)
-    val_loader = DataLoader(val_ds, batch_size=4, node_bucket=1024 * 8,
-                            edge_bucket=1024)
-    model.fit(cfg, train_loader, val_loader)
+    if args.eval_only:
+        model.load_model(checkpoint="./synthadv.chk")
+        model.compute_dtype = jnp.bfloat16 if not args.cpu else jnp.float32
+    else:
+        train_loader = DataLoader(train_ds, batch_size=8, shuffle=True,
+                                  node_bucket=1024 * 8, edge_bucket=1024)
+        val_loader = DataLoader(val_ds, batch_size=4, node_bucket=1024 * 8,
+                                edge_bucket=1024)
+        model.fit(cfg, train_loader, val_loader)
     train_time = time.time() - t0
 
     # ---- long-horizon rollout vs analytic truth ---------------------------
-    n_roll = 50
-    g = val_ds.graph_at(0, 0, n_roll)
-    batch = collate([g], node_bucket=64, edge_bucket=128).to_device()
-    pred = np.asarray(model.solve(batch, n_out=n_roll))
-    target = np.asarray(batch.target)
-    mask = np.asarray(batch.node_mask)
-    rmse = rollout_rmse(pred, target, node_mask=mask)
-    # field std ~ O(0.5); report normalised error too
-    nrmse = rmse / float(target[mask].std())
-    results = {
-        "train_time_s": round(train_time, 1),
-        "rollout_steps": n_roll,
-        "rollout_rmse": round(rmse, 5),
-        "rollout_nrmse": round(nrmse, 4),
-        "r2_step1": round(r2(pred[mask, 0], target[mask, 0]), 4),
-        "r2_step10": round(r2(pred[mask, 9], target[mask, 9]), 4),
-        "r2_step50": round(r2(pred[mask, 49], target[mask, 49]), 4),
-    }
+    n_roll = args.rollout
+    results = {"train_time_s": round(train_time, 1),
+               "rollout_steps": n_roll}
+    rmses = []
+    for sim in range(4):
+        g = val_ds.graph_at(sim, 0, n_roll)
+        batch = collate([g], node_bucket=64, edge_bucket=128).to_device()
+        pred = np.asarray(model.solve(batch, n_out=n_roll))
+        target = np.asarray(batch.target)
+        mask = np.asarray(batch.node_mask)
+        rmses.append(rollout_rmse(pred, target, node_mask=mask))
+        if sim == 0:
+            nrmse = rmses[0] / float(target[mask].std())
+            results.update({
+                "rollout_rmse": round(rmses[0], 5),
+                "rollout_nrmse": round(nrmse, 4),
+                "r2_step1": round(r2(pred[mask, 0], target[mask, 0]), 4),
+            })
+            for s in (10, 50, 100):
+                if n_roll >= s:
+                    results[f"r2_step{s}"] = round(
+                        r2(pred[mask, s - 1], target[mask, s - 1]), 4)
+    results["rollout_rmse_mean4"] = round(float(np.mean(rmses)), 5)
     print(json.dumps(results))
     with open("synthetic_adv_results.json", "w") as f:
         json.dump(results, f, indent=1)
