@@ -405,7 +405,8 @@ class DataLoader:
                  transform: Optional[Callable] = None,
                  node_bucket: int = 64, edge_bucket: int = 128,
                  seed: int = 0, drop_last: bool = False,
-                 num_workers: int = 0, prefetch: int = 2, **_ignored):
+                 num_workers: int = 0, prefetch: int = 2,
+                 num_shards: int = 0, **_ignored):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -415,6 +416,11 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.prefetch = prefetch
+        #: > 0 → yield ``collate_sharded`` batches with a leading shard
+        #: axis (the data-parallel train step's input); set by ``fit``
+        #: when TrainConfig.devices > 1.  Forces drop_last so every batch
+        #: divides evenly.
+        self.num_shards = num_shards
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -426,15 +432,19 @@ class DataLoader:
         gs = [self.dataset[int(i)] for i in idx]
         if self.transform is not None:
             gs = [self.transform(g) for g in gs]
+        if self.num_shards:
+            return collate_sharded(gs, self.num_shards,
+                                   self.node_bucket, self.edge_bucket)
         return collate(gs, self.node_bucket, self.edge_bucket)
 
     def _index_batches(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
+        drop_last = self.drop_last or self.num_shards > 0
         for start in range(0, len(order), self.batch_size):
             idx = order[start:start + self.batch_size]
-            if self.drop_last and len(idx) < self.batch_size:
+            if drop_last and len(idx) < self.batch_size:
                 return
             yield idx
 

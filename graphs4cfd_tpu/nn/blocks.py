@@ -84,9 +84,26 @@ def _sender_gather(vs, senders, sender_sort, window_plan):
     return vs[senders]
 
 
+def _halo_gather(vs_local, sender_halo, window_plan):
+    """Graph-parallel sender gather: exchange boundary rows (or all_gather)
+    into the device-local table, then gather — through the windowed MXU
+    kernel when the partitioner attached a per-device plan over the local
+    table, else a plain row gather."""
+    ex, lidx = sender_halo
+    tab = ex(vs_local)
+    if window_plan is not None:
+        from ..ops import pallas_gather as pg
+        window, block_rows = int(window_plan[4]), int(window_plan[5])
+        if pg.supports(tab.shape[0], lidx.shape[0], window, block_rows):
+            interpret = jax.default_backend() != "tpu"
+            return pg.windowed_take(tab, window_plan, interpret=interpret)
+    return tab[lidx.reshape(-1)]
+
+
 def _edge_first_layer(edge_mlp: dict, e, v, senders, receivers,
                       compute_dtype, fixed_k: Optional[int] = None,
-                      sender_sort=None, window_plan=None):
+                      sender_sort=None, window_plan=None,
+                      sender_halo=None):
     """First edge-MLP layer with the gather fused *after* the matmul.
 
     ``W1 @ concat(e, v[s], v[r])`` ≡ ``e@We + (v@Ws)[s] + (v@Wr)[r]`` with
@@ -108,7 +125,10 @@ def _edge_first_layer(edge_mlp: dict, e, v, senders, receivers,
     vc = v.astype(cd)
     h = (e.astype(cd) @ we).astype(act)
     vs = (vc @ ws).astype(act)
-    h = h + _sender_gather(vs, senders, sender_sort, window_plan)
+    if sender_halo is not None:
+        h = h + _halo_gather(vs, sender_halo, window_plan)
+    else:
+        h = h + _sender_gather(vs, senders, sender_sort, window_plan)
     vr = (vc @ wr).astype(act)
     if fixed_k is not None:
         V, H = vr.shape
@@ -131,7 +151,8 @@ def gn_block(params: dict,
              sender_sort=None,
              compute_dtype=jnp.float32,
              out_activation: Optional[str] = None,
-             window_plan=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+             window_plan=None,
+             sender_halo=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One message-passing step: edge update → aggregate → node update.
 
     Matches ``GNBlock.forward`` (``blocks.py:175-186``): the edge MLP sees
@@ -143,6 +164,14 @@ def gn_block(params: dict,
     fused path (saving an HBM roundtrip of both outputs per layer), as a
     trailing XLA-fused op otherwise.  Aggregation always consumes the
     pre-activation edge state, exactly as in the reference.
+
+    ``sender_halo=(exchange_fn, lidx)`` runs the block graph-parallel: the
+    sender projection is exchanged across the mesh axis (halo ``all_to_all``
+    or all_gather fallback) into a device-local table gathered by ``lidx``;
+    the fused Pallas kernels (incl. the in-kernel windowed gather over the
+    local table, when the partitioner attached a per-device plan) are the
+    same ones the single-device path uses — going multi-chip keeps the
+    per-chip fast path.
     """
     num_nodes = v.shape[0]
     if fixed_k is not None and aggr == "mean" and edge_mask is None:
@@ -159,6 +188,26 @@ def gn_block(params: dict,
                 vs = (v.astype(cd) @ w1[fe:fe + fv].astype(cd)).astype(act)
                 interpret = jax.default_backend() != "tpu"
                 from ..config import ablation
+                if sender_halo is not None:
+                    ex, lidx = sender_halo
+                    tab = ex(vs)
+                    if (not ablation()
+                            and pg.supports_wg(window_plan, num_nodes,
+                                               fixed_k,
+                                               table_rows=tab.shape[0])):
+                        e_new, v_new = pg.gn_block_fused_wg(
+                            params["edge_mlp"], params["node_mlp"], e,
+                            tab, v, fixed_k, window_plan, compute_dtype=cd,
+                            interpret=interpret,
+                            out_activation=out_activation)
+                    else:
+                        vsg = tab[lidx.reshape(-1)]
+                        e_new, v_new = pg.gn_block_fused(
+                            params["edge_mlp"], params["node_mlp"], e,
+                            vsg, v, fixed_k, compute_dtype=cd,
+                            interpret=interpret,
+                            out_activation=out_activation)
+                    return v_new, e_new
                 if (not ablation()
                         and pg.supports_wg(window_plan, num_nodes,
                                            fixed_k)):
@@ -178,7 +227,8 @@ def gn_block(params: dict,
                 return v_new, e_new
     h = _edge_first_layer(params["edge_mlp"], e, v, senders, receivers,
                           compute_dtype, fixed_k=fixed_k,
-                          sender_sort=sender_sort, window_plan=window_plan)
+                          sender_sort=sender_sort, window_plan=window_plan,
+                          sender_halo=sender_halo)
     e_new = apply_mlp_tail(params["edge_mlp"], h, start=1,
                            compute_dtype=compute_dtype)
     if fixed_k is not None:
@@ -274,7 +324,8 @@ def edge_mp(params: dict,
             compute_dtype=jnp.float32,
             window_plan=None,
             folded_plan=None,
-            out_activation: Optional[str] = None
+            out_activation: Optional[str] = None,
+            sender_halo=None
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """REMuS MP on the line graph (``EdgeMP.forward``, ``blocks.py:322-333``).
 
@@ -308,7 +359,16 @@ def edge_mp(params: dict,
     ec = e.astype(cd)
 
     def gather_es(es):
-        """``es[angle_src]`` as [E, k, H]; windowed MXU kernel when planned."""
+        """``es[angle_src]`` as [E, k, H]; windowed MXU kernel when planned.
+
+        Graph-parallel (``sender_halo``): the canonical layout makes the
+        angle gather a *node-sender* row gather from the ``[V, k·H]``
+        folded edge table, so the partitioned gather is one halo exchange
+        of folded boundary rows + a local-table gather."""
+        if sender_halo is not None:
+            ex, lidx = sender_halo
+            tab = ex(es.reshape(E // k, k * es.shape[-1]))
+            return tab[lidx].reshape(E, k, -1)
         if window_plan is not None and E % k == 0:
             from ..ops import pallas_gather as pg
             V = E // k
@@ -327,7 +387,9 @@ def edge_mp(params: dict,
             # folded-layout kernel: whole angle chain in [B, k·H] lane
             # blocks, gather fused as the node-style one-hot matmul on the
             # [V, k·H] table — no [E·k, H] asg materialisation at all
-            if folded_plan is not None and E % k == 0:
+            # (single-device only; the GP path gathers from the halo table)
+            if folded_plan is not None and E % k == 0 \
+                    and sender_halo is None:
                 from ..ops import pallas_edgemp as pf
                 if pf.supports_folded(folded_plan, params["angle_mlp"],
                                       params["edge_mlp"], E, E // k, k,
@@ -380,13 +442,19 @@ def down_edge_mp(params: dict,
                  a12: jnp.ndarray,
                  angle_src12: jnp.ndarray,
                  *,
-                 compute_dtype=jnp.float32) -> jnp.ndarray:
+                 compute_dtype=jnp.float32,
+                 sender_halo=None) -> jnp.ndarray:
     """REMuS pooling via inter-level angles (``DownEdgeMP.forward``,
     ``blocks.py:360-381``).  ``a12`` is ``[Ec, k, Fa]`` grouped by receiving
     coarse edge; ``angle_src12`` indexes fine edges.  Returns updated coarse
-    edge features."""
+    edge features.  ``sender_halo=(exchange, lidx)``: graph-parallel
+    gather of boundary fine-edge rows."""
     Ec, k, _ = a12.shape
-    e_send = e_fine[angle_src12]
+    if sender_halo is not None:
+        ex, lidx = sender_halo
+        e_send = ex(e_fine)[lidx]
+    else:
+        e_send = e_fine[angle_src12]
     e_recv = jnp.broadcast_to(e_coarse[:, None, :],
                               (Ec, k, e_coarse.shape[-1]))
     a_new = apply_mlp(params["angle_mlp"],
@@ -442,19 +510,24 @@ def up_edge_mp(params: dict,
                unit_vec_fine: jnp.ndarray,
                e_fine_skip: jnp.ndarray,
                *,
-               compute_dtype=jnp.float32) -> jnp.ndarray:
+               compute_dtype=jnp.float32,
+               interp_exchange=None) -> jnp.ndarray:
     """REMuS unpooling (``UpEdgeMP.forward``, ``blocks.py:408-456``):
     coarse edge scalars → coarse node vectors (pinverse) → k-NN-interpolated
     fine node vectors → projected fine edge scalars → MLP with skip.
 
     All indices are in *local level* numbering (coarse levels renumbered
     once on host, unlike the reference's per-forward ``v1[coarse_mask1]``
-    scatter)."""
+    scatter).  ``interp_exchange``: graph-parallel — extends the coarse
+    node vectors with halo rows before interpolation (``interp_idx`` is
+    then the partitioner's local-table index array)."""
     from ..ops.interp import knn_interpolate
     v_coarse = edge_scalar_to_node_vector(e_coarse, unit_pinv_coarse)
     Vc, F, _ = v_coarse.shape
-    v_fine = knn_interpolate(v_coarse.reshape(Vc, F * 2), interp_idx,
-                             interp_w)
+    src = v_coarse.reshape(Vc, F * 2)
+    if interp_exchange is not None:
+        src = interp_exchange(src)
+    v_fine = knn_interpolate(src, interp_idx, interp_w)
     v_fine = v_fine.reshape(-1, F, 2)
     e1 = project_node_vectors_to_edges(v_fine, receivers_fine, unit_vec_fine)
     return apply_mlp(params,

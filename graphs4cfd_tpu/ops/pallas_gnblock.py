@@ -762,13 +762,15 @@ def _gn_wg_vjp_bwd(n_e, n_n, has_eln, has_nln, k, block, interpret,
 _gn_fused_wg.defvjp(_gn_wg_vjp_fwd, _gn_wg_vjp_bwd)
 
 
-def supports_wg(plan, num_nodes: int, k: int) -> bool:
+def supports_wg(plan, num_nodes: int, k: int,
+                table_rows: int = None) -> bool:
     """Gate for the in-kernel windowed gather: the GN kernel adopts the
     plan's edge blocking (node block = block_rows // k — the loader plans
     at node-block 128, sized so the backward's VMEM working set fits the
     16 MB scoped limit), so the plan's block must be a whole number of
     nodes and divide the node count; blocked exception arrays must be
-    present."""
+    present.  ``table_rows`` (graph-parallel: the halo-extended local
+    table is wider than the node block) defaults to ``num_nodes``."""
     if plan is None or len(plan) < 8 or plan[6] is None:
         return False
     window, block_rows = int(plan[4]), int(plan[5])
@@ -776,12 +778,13 @@ def supports_wg(plan, num_nodes: int, k: int) -> bool:
         return False
     block = block_rows // k
     stride = int(plan[8]) if len(plan) > 8 and plan[8] is not None else 0
-    if stride and (window % stride or num_nodes % stride):
+    rows = num_nodes if table_rows is None else table_rows
+    if stride and (window % stride or rows % stride):
         return False
     # block > 128 overflows the 16 MB VMEM scoped limit in the backward
     # kernel (one-hot + remat activations + RMW window scratch)
     return (block % 8 == 0 and block <= 128 and num_nodes % block == 0
-            and num_nodes >= window)
+            and rows >= window)
 
 
 def gn_block_fused_wg(edge_mlp: dict, node_mlp: dict, e, vs, v, k: int,

@@ -89,7 +89,13 @@ def build_window_gather_plan(indices: np.ndarray,
         base = np.arange(nblocks, dtype=np.int64) * stride
         hi = num_rows - window
         best, starts = None, None
-        for off in range(-window, stride, stride):
+        # off = -window is excluded: the rolling backward flushes exactly
+        # the union of windows, and that offset is the only one whose last
+        # window cannot be clipped up to ``hi`` — rows past the final
+        # window would never be written (garbage gradients).  Every
+        # off > -window guarantees start_last == hi ⇒ full [0, num_rows)
+        # coverage.
+        for off in range(-window + stride, stride, stride):
             s = np.clip(base + off, 0, hi)
             l = blocks - s[:, None]
             n = int(((l < 0) | (l >= window)).sum())

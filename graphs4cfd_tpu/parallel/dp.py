@@ -109,6 +109,44 @@ def make_dp_train_step(apply_fn, criterion, num_fields: int, n_out: int,
     return jax.jit(step, static_argnames=())
 
 
+def make_dp_val_step(apply_fn, criterion, num_fields: int, max_n_out: int,
+                     mesh: Mesh):
+    """Sharded validation: rollout ``max_n_out`` steps feeding predictions
+    back un-detached (reference ``model.py:260-273``), exact global loss
+    per step via the distributed-criterion protocol."""
+    dist = getattr(criterion, "distributed", None)
+
+    def per_device(params, arrays: dict, *, statics: dict):
+        arrays = {k: v[0] for k, v in arrays.items()}
+        graph = Graph(data={**arrays, **statics})
+        target = graph.target
+
+        def body(field, t):
+            g = graph.replace(field=field)
+            pred = apply_fn(params, g)
+            tgt = jax.lax.dynamic_slice_in_dim(
+                target, t * num_fields, num_fields, axis=1)
+            if dist is not None:
+                loss = dist(g, pred, tgt, "data")
+            else:
+                loss = jax.lax.pmean(criterion(g, pred, tgt), "data")
+            field = jnp.concatenate([field[:, num_fields:], pred], axis=1)
+            return field, loss
+
+        _, losses = jax.lax.scan(body, graph.field,
+                                 jnp.arange(max_n_out, dtype=jnp.int32))
+        return losses.mean()
+
+    def run(params, graph: Graph):
+        arrays, statics = graph.arrays(), graph.statics()
+        fn = shard_map(partial(per_device, statics=statics), mesh=mesh,
+                       in_specs=(P(), _graph_specs(arrays)),
+                       out_specs=P(), check_vma=False)
+        return fn(params, arrays)
+
+    return jax.jit(run)
+
+
 def make_dp_rollout(apply_fn, num_fields: int, n_out: int, mesh: Mesh):
     """Sharded inference rollout: each device rolls out its shard."""
 

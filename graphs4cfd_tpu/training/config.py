@@ -19,6 +19,11 @@ class TrainConfig:
     grad_clip ({'epoch', 'limit'} or None), scheduler ({'factor',
     'patience', 'loss'} or None), stopping (lr floor), mixed_precision
     (bf16 compute on TPU — no loss scaling needed), device.
+
+    TPU additions: ``devices`` (data-parallel mesh width — ``fit`` shards
+    each batch and trains under ``shard_map`` with exact global losses)
+    and ``graph_devices`` (edge-partition each batch graph across a
+    graph-parallel axis; one giant mesh per batch).
     """
 
     def __init__(self,
@@ -39,7 +44,9 @@ class TrainConfig:
                  stopping: float = 0.0,
                  mixed_precision: bool = False,
                  device=None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 devices: int = 1,
+                 graph_devices: int = 1):
         self.name = name
         self.folder = folder
         self.checkpoint = checkpoint
@@ -59,6 +66,11 @@ class TrainConfig:
         self.mixed_precision = mixed_precision
         self.device = device
         self.seed = seed
+        # TPU-era distribution knobs: ``devices`` shards the batch over a
+        # data-parallel mesh axis; ``graph_devices`` edge-partitions each
+        # batch graph over a graph-parallel axis (SURVEY §5 long-context).
+        self.devices = devices
+        self.graph_devices = graph_devices
 
     def __repr__(self):
         return repr(self.__dict__)

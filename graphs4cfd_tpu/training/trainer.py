@@ -169,17 +169,74 @@ def fit(model, train_config: TrainConfig, train_loader,
 
     clip_limit = (cfg["grad_clip"]["limit"]
                   if cfg["grad_clip"] is not None else None)
+
+    # ---- distribution: one mesh axis from TrainConfig ----------------------
+    # devices > 1  → data parallelism (batch shards, exact global loss);
+    # graph_devices > 1 → graph parallelism (each batch graph is ONE giant
+    # mesh, edge-partitioned with halo exchange).  The 2-axis composition
+    # is available via parallel.make_dp_gp_forward for inference/custom
+    # loops; fit drives one axis with full curriculum/plateau/checkpoint
+    # semantics preserved (per-t optimiser updates under the reduction).
+    dp = int(cfg["devices"] or 1)
+    gpd = int(cfg["graph_devices"] or 1)
+    if dp > 1 and gpd > 1:
+        raise NotImplementedError(
+            "fit drives one distribution axis; for DP×GP compose "
+            "parallel.make_gp_train_step over a 2-axis mesh directly")
+    mesh = None
+    if dp > 1 or gpd > 1:
+        import jax as _jax
+        from ..parallel import make_mesh
+        need = max(dp, 1) * max(gpd, 1)
+        assert len(_jax.devices()) >= need, \
+            f"TrainConfig wants {need} devices, have {len(_jax.devices())}"
+        mesh = (make_mesh(num_data=dp) if dp > 1
+                else make_mesh(num_data=1, num_graph=gpd))
+        print(f"Training on mesh {dict(mesh.shape)}")
+    if dp > 1:
+        for loader in (train_loader, val_loader):
+            if loader is not None and hasattr(loader, "num_shards"):
+                loader.num_shards = dp
+
     step_cache = {}
 
     def get_step(n):
         if n not in step_cache:
-            step_cache[n] = make_train_step(model.apply, criterion,
-                                            model.num_fields, n, clip_limit)
+            if dp > 1:
+                from ..parallel import make_dp_train_step
+                step_cache[n] = make_dp_train_step(
+                    model.apply, criterion, model.num_fields, n,
+                    clip_limit, mesh)
+            elif gpd > 1:
+                from ..parallel import make_gp_train_step
+                step_cache[n] = make_gp_train_step(
+                    model, criterion, mesh, n_out=n,
+                    grad_clip_limit=clip_limit)
+            else:
+                step_cache[n] = make_train_step(
+                    model.apply, criterion, model.num_fields, n, clip_limit)
         return step_cache[n]
 
-    val_step = (make_val_step(model.apply, cfg["validation_loss"] or criterion,
-                              model.num_fields, max_n_out)
-                if val_loader is not None else None)
+    val_criterion = cfg["validation_loss"] or criterion
+    if val_loader is None:
+        val_step = None
+    elif dp > 1:
+        from ..parallel import make_dp_val_step
+        val_step = make_dp_val_step(model.apply, val_criterion,
+                                    model.num_fields, max_n_out, mesh)
+    elif gpd > 1:
+        from ..parallel import make_gp_val_step
+        val_step = make_gp_val_step(model, val_criterion, mesh, max_n_out)
+    else:
+        val_step = make_val_step(model.apply, val_criterion,
+                                 model.num_fields, max_n_out)
+
+    def prepare(graph):
+        """Host-side per-batch prep: GP partitions the collated graph."""
+        if gpd > 1:
+            from ..parallel import partition_graph
+            graph = partition_graph(graph, gpd)[0]
+        return graph.to_device()
 
     print(f"Number of trainable parameters: {model.num_params}")
     sched_state = scheduler.state_dict() if scheduler else None
@@ -200,7 +257,7 @@ def fit(model, train_config: TrainConfig, train_loader,
         edges = 0
         for graph in train_loader:
             with trace_annotation("host_to_device"):
-                graph = graph.to_device()
+                graph = prepare(graph)
             clip_on = (cfg["grad_clip"] is not None
                        and epoch > cfg["grad_clip"]["epoch"])
             with trace_annotation("train_step"):
@@ -238,7 +295,7 @@ def fit(model, train_config: TrainConfig, train_loader,
             vit = 0
             for graph in val_loader:
                 validation_loss += float(val_step(model.params,
-                                                  graph.to_device()))
+                                                  prepare(graph)))
                 vit += 1
             validation_loss /= max(vit, 1)
             print(f"Epoch: {epoch:4d}, Validation loss: {validation_loss:.4e}")
