@@ -406,7 +406,8 @@ class DataLoader:
                  node_bucket: int = 64, edge_bucket: int = 128,
                  seed: int = 0, drop_last: bool = False,
                  num_workers: int = 0, prefetch: int = 2,
-                 num_shards: int = 0, **_ignored):
+                 num_shards: int = 0,
+                 batch_transform: Optional[Callable] = None, **_ignored):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -421,6 +422,10 @@ class DataLoader:
         #: when TrainConfig.devices > 1.  Forces drop_last so every batch
         #: divides evenly.
         self.num_shards = num_shards
+        #: applied to the COLLATED batch (the reference's whole-batch
+        #: transform semantics — e.g. ``BatchGridClustering`` for the
+        #: shared-cell quirk of ``transforms/mus.py:25``)
+        self.batch_transform = batch_transform
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -433,9 +438,15 @@ class DataLoader:
         if self.transform is not None:
             gs = [self.transform(g) for g in gs]
         if self.num_shards:
+            assert self.batch_transform is None, \
+                "batch_transform is incompatible with DP sharding " \
+                "(shared cells would couple shards)"
             return collate_sharded(gs, self.num_shards,
                                    self.node_bucket, self.edge_bucket)
-        return collate(gs, self.node_bucket, self.edge_bucket)
+        batch = collate(gs, self.node_bucket, self.edge_bucket)
+        if self.batch_transform is not None:
+            batch = self.batch_transform(batch)
+        return batch
 
     def _index_batches(self):
         order = np.arange(len(self.dataset))

@@ -4,7 +4,7 @@ Re-exports mirror the reference ``transforms`` package
 (``/root/reference/graphs4cfd/transforms/__init__.py:1-11``).
 """
 from .connect import ConnectKNN
-from .mus import GridClustering
+from .mus import GridClustering, BatchGridClustering
 from .mugs import GuillardCoarseningAndConnectKNN
 from .remus import ExtendGraph, BuildRemusGraph
 from .interpolate import (BuildKnnInterpWeights, InterpolateNodes,
@@ -17,7 +17,7 @@ from .subset import NodeSubset, RandomNodeSubset
 from .order import SpatialSort
 
 __all__ = [
-    "ConnectKNN", "GridClustering", "GuillardCoarseningAndConnectKNN",
+    "ConnectKNN", "GridClustering", "BatchGridClustering", "GuillardCoarseningAndConnectKNN",
     "ExtendGraph", "BuildRemusGraph", "BuildKnnInterpWeights",
     "InterpolateNodes", "InterpolateNodesToXml", "interpolate_nodes",
     "ScaleEdgeAttr", "ScaleNs", "scale_edges", "AddUniformNoise",

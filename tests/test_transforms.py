@@ -140,3 +140,58 @@ def test_morton_3d(rng):
     d_before = np.linalg.norm(np.diff(pos, axis=0), axis=1).mean()
     d_after = np.linalg.norm(np.diff(pos[perm], axis=0), axis=1).mean()
     assert d_after < d_before
+
+
+def test_batch_grid_clustering_matches_reference_semantics():
+    """BatchGridClustering (the compat switch for the reference's
+    whole-batch voxel_grid with batch=zeros, transforms/mus.py:25) must
+    cluster ALL samples' nodes on one shared grid: its parent assignment
+    equals clustering the concatenated positions directly, and samples
+    sharing a cell pool into the SAME coarse node."""
+    import numpy as np
+    import graphs4cfd_tpu as g4c
+    from graphs4cfd_tpu import transforms as T
+    from graphs4cfd_tpu.loader import collate
+    from graphs4cfd_tpu.graph import Graph
+    from graphs4cfd_tpu.ops.voxel import voxel_grid
+
+    rng = np.random.default_rng(0)
+    gs = []
+    for n in (90, 70):
+        g = Graph()
+        g.pos = rng.random((n, 2)).astype(np.float32)
+        g.loc = rng.normal(size=(n, 2)).astype(np.float32)
+        g.field = rng.normal(size=(n, 2)).astype(np.float32)
+        g.target = rng.normal(size=(n, 2)).astype(np.float32)
+        g.omega = np.zeros((n, 1), np.float32)
+        g.bound = np.zeros(n, np.uint8)
+        g = T.ConnectKNN(k=4)(g)
+        g = T.ScaleEdgeAttr(0.02)(g)
+        gs.append(g)
+    batch = collate(gs, node_bucket=16, edge_bucket=32)
+    batch = T.BatchGridClustering([0.3], node_bucket=8, edge_bucket=16)(batch)
+
+    mask = np.asarray(batch.node_mask)
+    pos = np.asarray(batch.pos)[mask]
+    # reference emulation: one voxel grid over the whole batch
+    cluster = voxel_grid(pos, 0.3)
+    _, parent_ref = np.unique(cluster, return_inverse=True)
+    np.testing.assert_array_equal(np.asarray(batch.parent_2)[mask],
+                                  parent_ref)
+    # cross-sample sharing actually happens (samples overlap in [0,1]^2)
+    b = np.asarray(batch.batch)[mask]
+    p = parent_ref
+    shared = set(p[b == 0]) & set(p[b == 1])
+    assert shared, "expected samples to share coarse cells"
+
+    # the model runs on the batch-shared hierarchy
+    W = 16
+    MPW = ((W + 2 * W, (W, W), True), (W + W, (W, W), True))
+    arch = {"edge_encoder": (2, (W, W), False),
+            "node_encoder": (5, (W, W), False),
+            "mp111": MPW, "down_mp12": (2 + W, (W, W), True),
+            "mp21": MPW, "up_mp21": (2 + W + W, (W, W), True),
+            "mp121": MPW, "decoder": (W, (W, 1), False)}
+    model = g4c.nn.MuSGNN(arch=arch, seed=0)
+    out = np.asarray(model.forward(batch.to_device()))
+    assert np.isfinite(out).all()
