@@ -88,8 +88,19 @@ def _halo_gather(vs_local, sender_halo, window_plan):
     """Graph-parallel sender gather: exchange boundary rows (or all_gather)
     into the device-local table, then gather — through the windowed MXU
     kernel when the partitioner attached a per-device plan over the local
-    table, else a plain row gather."""
-    ex, lidx = sender_halo
+    table, else a plain row gather.
+
+    Comm/compute overlap (SURVEY §5): the local-row term of the gather is
+    computed straight from ``vs_local`` — it does NOT depend on the
+    ``all_to_all`` — and only the boundary-row term waits for the
+    collective, so XLA's latency-hiding scheduler can run the local
+    gather (and the other first-layer matmul terms, see caller) while the
+    halo rows are in flight.  Numerically identical to gathering from the
+    concatenated table (each row comes from exactly one term).  The split
+    applies only in halo-table mode (indices are local-table positions);
+    the all_gather fallback gathers global rows from the full table."""
+    ex, lidx = sender_halo[0], sender_halo[1]
+    table_mode = len(sender_halo) > 2 and sender_halo[2]
     tab = ex(vs_local)
     if window_plan is not None:
         from ..ops import pallas_gather as pg
@@ -97,7 +108,19 @@ def _halo_gather(vs_local, sender_halo, window_plan):
         if pg.supports(tab.shape[0], lidx.shape[0], window, block_rows):
             interpret = jax.default_backend() != "tpu"
             return pg.windowed_take(tab, window_plan, interpret=interpret)
-    return tab[lidx.reshape(-1)]
+    flat = lidx.reshape(-1)
+    if not table_mode:
+        return tab[flat]
+    block = vs_local.shape[0]
+    is_local = flat < block
+    local_part = jnp.where(
+        is_local[:, None],
+        jnp.take(vs_local, jnp.minimum(flat, block - 1), axis=0), 0)
+    halo = tab[block:]
+    halo_part = jnp.where(
+        is_local[:, None], 0,
+        jnp.take(halo, jnp.maximum(flat - block, 0), axis=0))
+    return local_part + halo_part
 
 
 def _edge_first_layer(edge_mlp: dict, e, v, senders, receivers,
@@ -189,7 +212,7 @@ def gn_block(params: dict,
                 interpret = jax.default_backend() != "tpu"
                 from ..config import ablation
                 if sender_halo is not None:
-                    ex, lidx = sender_halo
+                    ex, lidx = sender_halo[0], sender_halo[1]
                     tab = ex(vs)
                     if (not ablation()
                             and pg.supports_wg(window_plan, num_nodes,
@@ -366,7 +389,7 @@ def edge_mp(params: dict,
         folded edge table, so the partitioned gather is one halo exchange
         of folded boundary rows + a local-table gather."""
         if sender_halo is not None:
-            ex, lidx = sender_halo
+            ex, lidx = sender_halo[0], sender_halo[1]
             tab = ex(es.reshape(E // k, k * es.shape[-1]))
             return tab[lidx].reshape(E, k, -1)
         if window_plan is not None and E % k == 0:
@@ -451,7 +474,7 @@ def down_edge_mp(params: dict,
     gather of boundary fine-edge rows."""
     Ec, k, _ = a12.shape
     if sender_halo is not None:
-        ex, lidx = sender_halo
+        ex, lidx = sender_halo[0], sender_halo[1]
         e_send = ex(e_fine)[lidx]
     else:
         e_send = e_fine[angle_src12]

@@ -488,8 +488,12 @@ class _GpCtx:
         return self.g.data[idx_key]
 
     def halo(self, table_key: str, idx_key: str, pad_to: int = 0):
+        """(exchange_fn, idx, table_mode) — table_mode=True means idx are
+        local-table positions (halo table emitted); False means idx are
+        global rows into the all_gather fallback."""
         return (self.exchange(table_key, pad_to),
-                self.index(table_key, idx_key))
+                self.index(table_key, idx_key),
+                self.g.has(table_key))
 
     def plan_pad(self) -> int:
         """Static local-table row count the level-1 window plans were

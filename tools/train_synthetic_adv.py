@@ -80,7 +80,9 @@ def main():
     ap.add_argument("--nmax", type=int, default=4)
     ap.add_argument("--sims", type=int, default=128)
     ap.add_argument("--rollout", type=int, default=50)
-    ap.add_argument("--patience", type=int, default=15)
+    ap.add_argument("--patience", type=int, default=40)
+    ap.add_argument("--dt", type=float, default=0.05)
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--resume", action="store_true",
                     help="resume from ./synthadv.chk if present")
     ap.add_argument("--eval-only", action="store_true",
@@ -119,9 +121,10 @@ def main():
         gfd.transforms.GridClustering([0.1]),
     ])
     n_out_max = args.nmax
-    train_ds = SyntheticAdv(args.sims, args.n_nodes, n_out_max, transform, seed=1)
+    train_ds = SyntheticAdv(args.sims, args.n_nodes, n_out_max, transform,
+                        seed=1, dt=args.dt)
     val_ds = SyntheticAdv(4, args.n_nodes, n_out_max, eval_transform,
-                          seed=99)
+                      seed=99, dt=args.dt)
     cfg = gfd.nn.TrainConfig(
         name="synthadv", folder=".", tensor_board=None, chk_interval=10,
         checkpoint="./synthadv.chk" if args.resume else None,
@@ -129,7 +132,7 @@ def main():
         epochs=args.epochs,
         num_steps=[n for n in (1, 2, 4, 6, 8, 10) if n <= args.nmax],
         add_steps={"tolerance": 0.03, "loss": "training"},
-        batch_size=8, lr=2e-4, grad_clip={"epoch": 0, "limit": 1},
+        batch_size=8, lr=args.lr, grad_clip={"epoch": 0, "limit": 1},
         scheduler={"factor": 0.5, "patience": args.patience,
                    "loss": "training"},
         stopping=1e-8, mixed_precision=not args.cpu)
