@@ -466,27 +466,67 @@ def down_edge_mp(params: dict,
                  angle_src12: jnp.ndarray,
                  *,
                  compute_dtype=jnp.float32,
-                 sender_halo=None) -> jnp.ndarray:
+                 sender_halo=None,
+                 out_activation: Optional[str] = None) -> jnp.ndarray:
     """REMuS pooling via inter-level angles (``DownEdgeMP.forward``,
     ``blocks.py:360-381``).  ``a12`` is ``[Ec, k, Fa]`` grouped by receiving
     coarse edge; ``angle_src12`` indexes fine edges.  Returns updated coarse
     edge features.  ``sender_halo=(exchange, lidx)``: graph-parallel
-    gather of boundary fine-edge rows."""
-    Ec, k, _ = a12.shape
-    if sender_halo is not None:
-        ex, lidx = sender_halo[0], sender_halo[1]
-        e_send = ex(e_fine)[lidx]
-    else:
-        e_send = e_fine[angle_src12]
-    e_recv = jnp.broadcast_to(e_coarse[:, None, :],
-                              (Ec, k, e_coarse.shape[-1]))
-    a_new = apply_mlp(params["angle_mlp"],
-                      jnp.concatenate([a12, e_send, e_recv], axis=-1),
-                      compute_dtype=compute_dtype)
+    gather of boundary fine-edge rows.
+
+    Structurally this is a GN block on (inter-level angle, coarse edge)
+    states with fine-edge sources, so it runs through the fused Pallas
+    GN-block kernel when shapes qualify — same treatment as ``edge_mp``;
+    the XLA fallback uses the concat-free first layer (``a@Wa +
+    (e_fine@Ws)[src] + bcast(e_coarse@Wr)``).  ``out_activation='selu'``
+    fuses the engine's post-pooling SELU."""
+    Ec, k, fa = a12.shape
+    cd = compute_dtype
+    act = cd if cd != jnp.float32 else jnp.float32
+    lyr = params["angle_mlp"]["layers"][0]
+    w1 = lyr["w"].astype(cd)
+    fe = e_fine.shape[-1]
+    fc = e_coarse.shape[-1]
+    wa, ws, wr = w1[:fa], w1[fa:fa + fe], w1[fa + fe:]
+    es = (e_fine.astype(cd) @ ws).astype(act)
+
+    def gather_src():
+        if sender_halo is not None:
+            ex, lidx = sender_halo[0], sender_halo[1]
+            return ex(es)[lidx]
+        return es[angle_src12]
+
+    if fa % 128 == 0:
+        from ..config import pallas_enabled
+        if pallas_enabled():
+            from ..ops import pallas_gnblock as pg
+            if pg.supports(params["angle_mlp"], params["edge_mlp"], Ec,
+                           fa, fc, k):
+                asg = gather_src().reshape(Ec * k, -1)
+                interpret = jax.default_backend() != "tpu"
+                _, e_new = pg.gn_block_fused(
+                    params["angle_mlp"], params["edge_mlp"],
+                    a12.reshape(Ec * k, fa), asg, e_coarse, k,
+                    compute_dtype=cd, interpret=interpret,
+                    out_activation=out_activation)
+                return e_new
+    h = (a12.astype(cd) @ wa).astype(act)
+    h = h + gather_src()
+    h = h + (e_coarse.astype(cd) @ wr).astype(act)[:, None, :]
+    a_new = apply_mlp_tail(params["angle_mlp"], h + lyr["b"].astype(act),
+                           start=1, compute_dtype=cd)
     aggregated = a_new.mean(axis=1)
-    return apply_mlp(params["edge_mlp"],
-                     jnp.concatenate([aggregated, e_coarse], axis=-1),
-                     compute_dtype=compute_dtype)
+    # concat-free second chain: [aggr, e_coarse] @ W1 = aggr@Wa' + ec@We'
+    nlyr = params["edge_mlp"]["layers"][0]
+    nw1 = nlyr["w"].astype(cd)
+    hn = (aggregated.astype(cd) @ nw1[:aggregated.shape[-1]]).astype(act) \
+        + (e_coarse.astype(cd) @ nw1[aggregated.shape[-1]:]).astype(act) \
+        + nlyr["b"].astype(act)
+    e_new = apply_mlp_tail(params["edge_mlp"], hn, start=1,
+                           compute_dtype=cd)
+    if out_activation == "selu":
+        e_new = jax.nn.selu(e_new)
+    return e_new
 
 
 def edge_scalar_to_node_vector(edge_attr: jnp.ndarray,
@@ -553,9 +593,16 @@ def up_edge_mp(params: dict,
     v_fine = knn_interpolate(src, interp_idx, interp_w)
     v_fine = v_fine.reshape(-1, F, 2)
     e1 = project_node_vectors_to_edges(v_fine, receivers_fine, unit_vec_fine)
-    return apply_mlp(params,
-                     jnp.concatenate([e1, e_fine_skip], axis=-1),
-                     compute_dtype=compute_dtype)
+    # concat-free first layer: [e1, skip] @ W1 = e1@Wa + skip@Wb
+    cd = compute_dtype
+    act = cd if cd != jnp.float32 else jnp.float32
+    lyr = params["layers"][0]
+    w1 = lyr["w"].astype(cd)
+    f1 = e1.shape[-1]
+    h = (e1.astype(cd) @ w1[:f1]).astype(act) \
+        + (e_fine_skip.astype(cd) @ w1[f1:]).astype(act) \
+        + lyr["b"].astype(act)
+    return apply_mlp_tail(params, h, start=1, compute_dtype=cd)
 
 
 # ---------------------------------------------------------- API-parity shims

@@ -147,8 +147,7 @@ def remus_apply(params: dict, graph: Graph, plan, num_fields: int = 2,
             _, name, tgt = op
             e[tgt] = down_edge_mp(params[name], e[tgt - 1], e[tgt], xa[tgt],
                                   graph.data[f"xangle_src_{tgt}"],
-                                  compute_dtype=cd)
-            e[tgt] = _selu(e[tgt])
+                                  compute_dtype=cd, out_activation="selu")
             level = tgt
         elif op[0] == "up":
             _, name, src = op

@@ -727,8 +727,8 @@ def gp_remus_apply(params: dict, graph: Graph, plan, num_fields: int = 2,
             e[tgt] = down_edge_mp(
                 params[name], e[tgt - 1], e[tgt], xa[tgt],
                 graph.data[f"xangle_src_{tgt}"], compute_dtype=cd,
+                out_activation="selu",
                 sender_halo=ctx.halo(f"halo_x_{tgt}", f"xangle_src_{tgt}"))
-            e[tgt] = _selu(e[tgt])
         elif op[0] == "up":
             _, name, src = op
             tgt = src - 1

@@ -39,3 +39,20 @@ def test_dp_gp_forward_exact():
         valid = np.asarray(g.node_mask)
         np.testing.assert_allclose(unperm[valid], refs[gi][valid],
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_make_hybrid_mesh_single_slice():
+    """On a single slice the hybrid (DCN-aware) mesh degrades to the flat
+    ICI mesh with the same axis factors."""
+    import jax
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    from graphs4cfd_tpu.parallel.mesh import make_hybrid_mesh
+    mesh = make_hybrid_mesh(dcn_data=2, ici_data=2, ici_graph=2)
+    assert dict(mesh.shape) == {"data": 4, "graph": 2}
+
+
+def test_initialize_distributed_noop():
+    from graphs4cfd_tpu.parallel.mesh import initialize_distributed
+    assert initialize_distributed() == 1
