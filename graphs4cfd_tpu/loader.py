@@ -137,7 +137,8 @@ def _add_window_gather_plan(out: dict, num_nodes: int, k: int,
 def _add_folded_gather_plan(out: dict, num_nodes: int, k: int,
                             exc_pad: Optional[int] = None,
                             blk_pad: Optional[int] = None,
-                            pref: Optional[tuple] = None) -> None:
+                            pref: Optional[tuple] = None,
+                            level: int = 1) -> None:
     """Attach the edge-row-blocked plan for the folded line-graph EdgeMP
     kernel (``ops.pallas_edgemp``; REMuS level-1 angle chains).
 
@@ -155,7 +156,9 @@ def _add_folded_gather_plan(out: dict, num_nodes: int, k: int,
     while b > 1 and num_nodes % b:
         b //= 2
     block_rows = k * b
-    E = out["senders"].shape[0]
+    suf = "" if level == 1 else f"_{level}"
+    senders = out[f"senders{suf}"]
+    E = senders.shape[0]
     if num_nodes < window or E % block_rows:
         return
     kwargs = {}
@@ -163,20 +166,21 @@ def _add_folded_gather_plan(out: dict, num_nodes: int, k: int,
         kwargs["min_exc_pad"] = exc_pad
     if blk_pad is not None:
         kwargs["min_blk_pad"] = blk_pad
-    plan = build_window_gather_plan(out["senders"], num_nodes,
+    plan = build_window_gather_plan(senders, num_nodes,
                                     block_rows=block_rows, window=window,
                                     stride=b, **kwargs)
     if plan is None:
         return
-    out["wg_fold_starts"] = plan.starts
-    out["wg_fold_lidx"] = plan.lidx
-    out["wg_fold_exc_pos"] = plan.exc_pos
-    out["wg_fold_exc_idx"] = plan.exc_idx
-    out["wg_fold_window"] = plan.window
-    out["wg_fold_block_rows"] = plan.block_rows
-    out["wg_fold_exc_lpos"] = plan.exc_lpos
-    out["wg_fold_exc_nidx"] = plan.exc_nidx
-    out["wg_fold_stride"] = plan.stride
+    tag = "wg_fold" if level == 1 else f"wg_fold{level}"
+    out[f"{tag}_starts"] = plan.starts
+    out[f"{tag}_lidx"] = plan.lidx
+    out[f"{tag}_exc_pos"] = plan.exc_pos
+    out[f"{tag}_exc_idx"] = plan.exc_idx
+    out[f"{tag}_window"] = plan.window
+    out[f"{tag}_block_rows"] = plan.block_rows
+    out[f"{tag}_exc_lpos"] = plan.exc_lpos
+    out[f"{tag}_exc_nidx"] = plan.exc_nidx
+    out[f"{tag}_stride"] = plan.stride
 
 
 def collate(graphs: Sequence[Graph],
@@ -292,10 +296,21 @@ def collate(graphs: Sequence[Graph],
         _add_window_gather_plan(out, padded[("node", 1)],
                                 static["fixed_k"],
                                 pref=static.get("wg_pref"))
-        if "angle_src" in out:         # REMuS: folded line-graph plan too
+        if "angle_src" in out:         # REMuS: folded line-graph plans,
             _add_folded_gather_plan(out, padded[("node", 1)],
                                     static["fixed_k"],
                                     pref=static.get("wgf_pref"))
+            # ... one per coarse level too (L2/L3 angle chains are ~2
+            # L1-layer-equivalents of work; coarse levels inherit the
+            # level-1 spatial sort through down_idx, so windows stay tight)
+            l = 2
+            while f"angle_src_{l}" in out:
+                if static.get(f"fixed_k_{l}") is not None:
+                    _add_folded_gather_plan(out, padded[("node", l)],
+                                            static[f"fixed_k_{l}"],
+                                            pref=static.get("wgf_pref"),
+                                            level=l)
+                l += 1
     return Graph(data=out)
 
 

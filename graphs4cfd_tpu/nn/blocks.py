@@ -44,17 +44,19 @@ def window_plan_of(graph):
             d.get("wg_stride", 0))
 
 
-def folded_plan_of(graph):
+def folded_plan_of(graph, level: int = 1):
     """Extract the edge-row-blocked gather plan for the folded line-graph
     EdgeMP kernel (``ops.pallas_edgemp``; attached by ``loader.collate``
-    for REMuS-style graphs).  None → fall back to the node-layout paths."""
-    if not graph.has("wg_fold_starts"):
+    for REMuS-style graphs, one per fixed-k level).  None → fall back to
+    the node-layout paths."""
+    tag = "wg_fold" if level == 1 else f"wg_fold{level}"
+    if not graph.has(f"{tag}_starts"):
         return None
     d = graph.data
-    return (d["wg_fold_starts"], d["wg_fold_lidx"], d["wg_fold_exc_pos"],
-            d["wg_fold_exc_idx"], d["wg_fold_window"],
-            d["wg_fold_block_rows"], d.get("wg_fold_exc_lpos"),
-            d.get("wg_fold_exc_nidx"), d.get("wg_fold_stride", 0))
+    return (d[f"{tag}_starts"], d[f"{tag}_lidx"], d[f"{tag}_exc_pos"],
+            d[f"{tag}_exc_idx"], d[f"{tag}_window"],
+            d[f"{tag}_block_rows"], d.get(f"{tag}_exc_lpos"),
+            d.get(f"{tag}_exc_nidx"), d.get(f"{tag}_stride", 0))
 
 
 def _sender_gather(vs, senders, sender_sort, window_plan):

@@ -102,10 +102,10 @@ def remus_apply(params: dict, graph: Graph, plan, num_fields: int = 2,
         angle_src = graph.data[f"angle_src{_suffix(l)}"]
         # level-1 angle gather = node-sender gather from the [V, k·H]
         # reshaped edge table → reuse the loader's windowed MXU plan;
-        # the folded plan routes the whole chain through the folded
-        # line-graph kernel (ops.pallas_edgemp) when present
+        # the folded plans (one per level) route the whole chain through
+        # the folded line-graph kernel (ops.pallas_edgemp) when present
         wplan = _window_plan_of(graph) if l == 1 else None
-        fplan = _folded_plan_of(graph) if l == 1 else None
+        fplan = _folded_plan_of(graph, l)
 
         def one(p, e_l, a_l):
             # inter-layer SELU fused into edge_mp (in-kernel on the fused

@@ -166,3 +166,54 @@ def test_loader_attaches_folded_plan(rng):
     got = apply_plan_numpy(tab, np_plan)
     np.testing.assert_array_equal(got,
                                   tab[np.asarray(batch.data["senders"])])
+
+
+def test_remus_engine_uses_coarse_level_folded_plans(rng, monkeypatch):
+    """collate attaches folded plans for EVERY fixed-k level; the REMuS
+    engine must consume them (interpret-mode kernel) and match the plain
+    XLA forward exactly."""
+    from graphs4cfd_tpu import config as g4c_config
+    import graphs4cfd_tpu as g4c
+    from graphs4cfd_tpu import transforms as T
+    from graphs4cfd_tpu.graph import Graph
+    from graphs4cfd_tpu.loader import collate
+
+    monkeypatch.setenv("GRAPHS4CFD_FOLD_WINDOW", "64")
+    monkeypatch.setenv("GRAPHS4CFD_FOLD_BLOCK", "8")
+
+    r = np.random.default_rng(5)
+    g = Graph()
+    n = 600
+    g.pos = r.random((n, 2)).astype(np.float32)
+    g.glob = r.random((n, 1)).astype(np.float32)
+    g.field = r.normal(size=(n, 2)).astype(np.float32)
+    g.target = r.normal(size=(n, 4)).astype(np.float32)
+    g.omega = (r.random((n, 1)) < 0.1).astype(np.float32)
+    g.bound = np.zeros(n, np.uint8)
+    g = T.SpatialSort()(g)
+    g = T.BuildRemusGraph(num_levels=2, k=5,
+                          scale_edge_length=(0.02, 0.04))(g)
+    g = T.BuildKnnInterpWeights(3)(g)
+    batch = collate([g], node_bucket=8, edge_bucket=40)
+    assert batch.has("wg_fold_starts")
+    assert batch.has("wg_fold2_starts"), \
+        "coarse-level folded plan was not attached"
+
+    H = 128
+    emp = ((H + 2 * H, (H, H), True), (H + H, (H, H), True))
+    arch = {"angle_encoder": (4, (H, H), True),
+            "angle_encoder12": (4, (H, H), True),
+            "angle_encoder2": (4, (H, H), True),
+            "edge_encoder": (3, (H, H), True),
+            "edge_encoder2": (3, (H, H), True),
+            "mp111": emp, "down_mp12": emp, "mp211": emp,
+            "up_mp21": (H + H, (H, H), True),
+            "mp121": emp,
+            "decoder": (H, (H, 1), False)}
+    model = g4c.nn.REMuSGNN(arch=arch, seed=2)
+
+    monkeypatch.setattr(g4c_config, "use_pallas", False)
+    ref = np.asarray(model.forward(batch.to_device()))
+    monkeypatch.setattr(g4c_config, "use_pallas", True)
+    out = np.asarray(model.forward(batch.to_device()))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
