@@ -109,7 +109,8 @@ def _halo_gather(vs_local, sender_halo, window_plan):
         window, block_rows = int(window_plan[4]), int(window_plan[5])
         if pg.supports(tab.shape[0], lidx.shape[0], window, block_rows):
             interpret = jax.default_backend() != "tpu"
-            return pg.windowed_take(tab, window_plan, interpret=interpret)
+            return pg.windowed_take(tab, window_plan, interpret=interpret,
+                                    zero_tail=True)
     flat = lidx.reshape(-1)
     if not table_mode:
         return tab[flat]
@@ -220,11 +221,15 @@ def gn_block(params: dict,
                             and pg.supports_wg(window_plan, num_nodes,
                                                fixed_k,
                                                table_rows=tab.shape[0])):
+                        # rolling flush cannot cover the trailing halo
+                        # region of the local table — zero those dvs rows
+                        # (their cotangent rides the exception path)
                         e_new, v_new = pg.gn_block_fused_wg(
                             params["edge_mlp"], params["node_mlp"], e,
                             tab, v, fixed_k, window_plan, compute_dtype=cd,
                             interpret=interpret,
-                            out_activation=out_activation)
+                            out_activation=out_activation,
+                            zero_tail=True)
                     else:
                         vsg = tab[lidx.reshape(-1)]
                         e_new, v_new = pg.gn_block_fused(

@@ -119,9 +119,9 @@ def _bwd_kernel_rolling(window, block_rows, stride, starts_ref, lidx_ref,
         fin.wait()
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _windowed_take(table, lidx, starts, exc_pos, exc_idx,
-                   window, block_rows, interpret, stride):
+                   window, block_rows, interpret, stride, zero_tail=False):
     out, _ = _wt_fwd(table, lidx, starts, exc_pos, exc_idx,
                      window, block_rows, interpret, stride)
     return out
@@ -161,12 +161,12 @@ def _wt_fwd(table, lidx, starts, exc_pos, exc_idx,
 
 
 def _wt_vjp_fwd(table, lidx, starts, exc_pos, exc_idx,
-                window, block_rows, interpret, stride):
+                window, block_rows, interpret, stride, zero_tail=False):
     return _wt_fwd(table, lidx, starts, exc_pos, exc_idx,
                    window, block_rows, interpret, stride)
 
 
-def _wt_vjp_bwd(window, block_rows, interpret, stride, res, ct):
+def _wt_vjp_bwd(window, block_rows, interpret, stride, zero_tail, res, ct):
     N, lidx, starts, exc_pos, exc_idx = res
     M, H = ct.shape
     nblocks = M // block_rows
@@ -211,6 +211,13 @@ def _wt_vjp_bwd(window, block_rows, interpret, stride, res, ct):
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(*operands)
+    if rolling and zero_tail:
+        # graph-parallel tables extend past the rolling flush coverage;
+        # rows the flush never writes hold garbage — zero them (their true
+        # cotangents enter through the exception scatter-add below)
+        covered = starts[-1] + window
+        rows = jax.lax.broadcasted_iota(jnp.int32, dtab.shape, 0)
+        dtab = jnp.where(rows < covered, dtab, 0)
     # exception rows: scatter-add their cotangent (pad exc_idx == N drops)
     ct_exc = jnp.take(ct.astype(jnp.float32), exc_pos, axis=0, mode="clip")
     live = (exc_pos < M)[:, None].astype(jnp.float32)
@@ -222,7 +229,8 @@ _windowed_take.defvjp(_wt_vjp_fwd, _wt_vjp_bwd)
 
 
 def windowed_take(table: jnp.ndarray, plan, *,
-                  interpret: bool = False) -> jnp.ndarray:
+                  interpret: bool = False,
+                  zero_tail: bool = False) -> jnp.ndarray:
     """``table[indices]`` via the windowed one-hot MXU kernel.
 
     ``plan`` carries (starts, lidx, exc_pos, exc_idx) as device arrays plus
@@ -232,7 +240,8 @@ def windowed_take(table: jnp.ndarray, plan, *,
     starts, lidx, exc_pos, exc_idx, window, block_rows = plan[:6]
     stride = int(plan[8]) if len(plan) > 8 and plan[8] is not None else 0
     return _windowed_take(table, lidx, starts, exc_pos, exc_idx,
-                          int(window), int(block_rows), interpret, stride)
+                          int(window), int(block_rows), interpret, stride,
+                          zero_tail)
 
 
 def supports(table_rows: int, m: int, window: int, block_rows: int) -> bool:

@@ -636,13 +636,13 @@ def _wg_specs(e, v, lidx, xlp, xval, k, block):
     ]
 
 
-_WG_STATICS = (8, 9, 10, 11, 12, 13, 14, 15, 16, 17)
+_WG_STATICS = (8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=_WG_STATICS)
 def _gn_fused_wg(e, vs, v, xval, flat_params, lidx, starts, xlp,
                  n_e, n_n, has_eln, has_nln, k, block, interpret, out_selu,
-                 window, stride):
+                 window, stride, zero_tail=False):
     return _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
                            n_e, n_n, has_eln, has_nln, k, block, interpret,
                            out_selu, window)
@@ -683,7 +683,7 @@ def _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
 
 def _gn_wg_vjp_fwd(e, vs, v, xval, flat_params, lidx, starts, xlp,
                    n_e, n_n, has_eln, has_nln, k, block, interpret,
-                   out_selu, window, stride):
+                   out_selu, window, stride, zero_tail=False):
     out = _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
                           n_e, n_n, has_eln, has_nln, k, block, interpret,
                           out_selu, window)
@@ -691,7 +691,7 @@ def _gn_wg_vjp_fwd(e, vs, v, xval, flat_params, lidx, starts, xlp,
 
 
 def _gn_wg_vjp_bwd(n_e, n_n, has_eln, has_nln, k, block, interpret,
-                   out_selu, window, stride, res, g):
+                   out_selu, window, stride, zero_tail, res, g):
     e, vs, v, xval, flat_params, lidx, starts, xlp = res
     ge, gv = g
     rolling = stride > 0
@@ -754,6 +754,15 @@ def _gn_wg_vjp_bwd(n_e, n_n, has_eln, has_nln, k, block, interpret,
     )(*operands, *flat_params)
     de, dv, dxval, dvs = outs[0], outs[1], outs[2], outs[3]
     dflat = tuple(outs[4:])
+    if rolling and zero_tail:
+        # graph-parallel tables extend past the rolling flush coverage
+        # (the halo region sits after the last window); rows the flush
+        # never writes hold garbage — zero them.  Their true cotangents
+        # flow through the exception path (xval) added by the caller's
+        # gather transpose.
+        covered = starts[-1] + window
+        rows = jax.lax.broadcasted_iota(jnp.int32, dvs.shape, 0)
+        dvs = jnp.where(rows < covered, dvs, 0)
     # accumulate in f32, hand back in the primal dtypes
     return (de, dvs.astype(vs.dtype), dv, dxval.astype(xval.dtype), dflat,
             None, None, None)
@@ -790,7 +799,8 @@ def supports_wg(plan, num_nodes: int, k: int,
 def gn_block_fused_wg(edge_mlp: dict, node_mlp: dict, e, vs, v, k: int,
                       plan, *, compute_dtype=jnp.float32,
                       interpret: bool = False,
-                      out_activation: str = None
+                      out_activation: str = None,
+                      zero_tail: bool = False
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused GN block with the sender gather *inside* the kernel.
 
@@ -837,4 +847,4 @@ def gn_block_fused_wg(edge_mlp: dict, node_mlp: dict, e, vs, v, k: int,
                         lidx, starts, xlp3,
                         len(ew), len(nw), bool(eln), bool(nln), k, block,
                         interpret, out_activation == "selu", window,
-                        stride)
+                        stride, zero_tail)

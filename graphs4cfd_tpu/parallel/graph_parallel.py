@@ -97,8 +97,13 @@ def _gp_rules(key: str):
 
 
 def _sort_perm(pos: np.ndarray) -> np.ndarray:
-    """Spatial sort (x-major) so contiguous blocks are compact."""
-    return np.lexsort((pos[:, 1], pos[:, 0])).astype(np.int32)
+    """Morton (Z-order) sort: contiguous blocks are compact 2-D tiles
+    (small halo sets) AND consecutive indices stay spatially local inside
+    each block, which the per-device windowed-gather plans require —
+    an x-major lexsort gives thin full-height strips whose within-block
+    index spread blows the plan windows (measured 42% misses)."""
+    from ..ops.order import morton_code
+    return np.argsort(morton_code(pos), kind="stable").astype(np.int32)
 
 
 def _gather_sites(data: dict, levels: Sequence[int]) -> List[Tuple]:
@@ -196,16 +201,19 @@ def _tab_rows(block: int, num_parts: int, pmax: int,
 
 def _build_gp_window_plans(out: dict, num_parts: int, fixed_k: int,
                            pmax: int, pref: Optional[tuple]) -> None:
-    """Per-device windowed-gather plans over the halo-extended local table
-    (level-1 senders).  Non-rolling (median) plans only: the rolling
-    backward flushes exactly the union of windows, which cannot cover the
-    trailing halo region — the zeros-aliased RMW backward is coverage-safe
-    for any table layout."""
+    """Per-device ROLLING windowed-gather plans over the halo-extended
+    local table (level-1 senders) — the same (512, 128) rolling form as
+    the single-device loader plans (same kernel VMEM footprint; the
+    non-rolling variant's window RMW buffer blows v5e's 16 MB scoped
+    limit at block 128, measured).  The rolling flush cannot cover the
+    trailing halo region, so the kernel backward zeroes the uncovered
+    dvs rows (``zero_tail``) — halo-row cotangents ride the exception
+    path, which is exact."""
     import os
     from ..ops.window_plan import build_window_gather_plan
     pw, pb = pref if pref is not None else (512, 128)
-    window = int(os.environ.get("GRAPHS4CFD_GATHER_WINDOW", str(pw)))
-    b = int(os.environ.get("GRAPHS4CFD_GATHER_BLOCK", str(pb)))
+    window = int(os.environ.get("GRAPHS4CFD_GP_GATHER_WINDOW", str(pw)))
+    b = min(int(os.environ.get("GRAPHS4CFD_GP_GATHER_BLOCK", str(pb))), 128)
     lidx = out.get("senders_lidx")          # [D, E_loc]
     if lidx is None:
         return
@@ -227,7 +235,7 @@ def _build_gp_window_plans(out: dict, num_parts: int, fixed_k: int,
             kw["min_blk_pad"] = blk_pad
         return build_window_gather_plan(
             lidx.reshape(D, -1)[d], T, block_rows=block_rows,
-            window=window, stride=0, **kw)
+            window=window, stride=b, **kw)
 
     plans = [build(d) for d in range(D)]
     if any(p is None for p in plans):
@@ -243,7 +251,7 @@ def _build_gp_window_plans(out: dict, num_parts: int, fixed_k: int,
     out["wg_exc_nidx"] = np.stack([p.exc_nidx for p in plans])
     out["wg_window"] = plans[0].window            # static
     out["wg_block_rows"] = plans[0].block_rows    # static
-    out["wg_stride"] = 0                          # static
+    out["wg_stride"] = plans[0].stride            # static
 
 
 def partition_graph(graph: Graph, num_parts: int,

@@ -266,8 +266,8 @@ def test_graph_parallel_fused_wg_kernel_exact(monkeypatch):
     under partitioning)."""
     from graphs4cfd_tpu import config as g4c_config
     monkeypatch.setattr(g4c_config, "use_pallas", True)
-    monkeypatch.setenv("GRAPHS4CFD_GATHER_WINDOW", "256")
-    monkeypatch.setenv("GRAPHS4CFD_GATHER_BLOCK", "64")
+    monkeypatch.setenv("GRAPHS4CFD_GP_GATHER_WINDOW", "256")
+    monkeypatch.setenv("GRAPHS4CFD_GP_GATHER_BLOCK", "64")
 
     H = 128
     mp = ((H + 2 * H, (H, H, H), True), (H + H, (H, H, H), True))
