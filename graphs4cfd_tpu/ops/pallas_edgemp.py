@@ -454,8 +454,11 @@ def supports_folded(plan, angle_mlp: dict, edge_mlp: dict, E: int, V: int,
     if any(d % 128 for d in dims):
         return False
     H = angle_mlp["layers"][-1]["w"].shape[1]
-    # backward working set ≈ (3 + n_layers)·block·k·H f32 + 2 windows
-    return block * k * H <= 64 * 1024 * 8
+    # backward working set ≈ (3 + n_layers)·block·k·H f32 + 2 windows;
+    # measured on v5e: block=320 (k=5, H=128) compiles at ~13 MB scoped
+    # VMEM, block=640 OOMs at 24.7 MB vs the 16 MB limit — the bound must
+    # reject the latter
+    return block * k * H <= 64 * 1024 * 4
 
 
 def edge_mp_folded(angle_mlp: dict, edge_mlp: dict, a, tab, e, k: int,
