@@ -4,11 +4,12 @@ from .dp import make_dp_train_step, make_dp_val_step, make_dp_rollout
 from .graph_parallel import (partition_graph, partition_batches,
                              gp_mus_apply, gp_mugs_apply, gp_remus_apply,
                              gp_apply_fn, make_gp_forward,
-                             make_gp_train_step, make_gp_val_step,
+                             make_gp_train_step, make_gp_val_step, make_gp_rollout,
                              make_dp_gp_forward)
 
 __all__ = ["make_mesh", "make_hybrid_mesh", "initialize_distributed", "make_dp_train_step",
            "make_dp_val_step", "make_dp_rollout", "partition_graph",
            "partition_batches", "gp_mus_apply", "gp_mugs_apply",
            "gp_remus_apply", "gp_apply_fn", "make_gp_forward",
-           "make_gp_train_step", "make_gp_val_step", "make_dp_gp_forward"]
+           "make_gp_train_step", "make_gp_val_step", "make_gp_rollout",
+           "make_dp_gp_forward"]

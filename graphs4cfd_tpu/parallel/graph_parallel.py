@@ -884,6 +884,39 @@ def make_gp_train_step(model, criterion, mesh: Mesh, n_out: int = 1,
     return jax.jit(step)
 
 
+def make_gp_rollout(model, mesh: Mesh, n_out: int, axis: str = "graph"):
+    """Partitioned autoregressive rollout (the GP counterpart of
+    ``training.rollout.solve`` / ``parallel.make_dp_rollout``): each device
+    rolls its node block forward ``n_out`` steps with halo exchange per MP
+    layer; returns ``[D, V_local, num_fields*n_out]`` (un-permute level-1
+    rows with the partition info's ``perms[1]``)."""
+    body = gp_apply_fn(model)
+    num_fields = model.num_fields
+
+    def per_device(params, arrays: dict, *, statics: dict):
+        arrays = {k: v[0] for k, v in arrays.items()}
+        graph = Graph(data={**arrays, **statics})
+
+        def scan_body(field, _):
+            g = graph.replace(field=field)
+            pred = body(params, g, axis=axis)
+            return jnp.concatenate([field[:, num_fields:], pred],
+                                   axis=1), pred
+
+        _, preds = jax.lax.scan(scan_body, graph.field, None, length=n_out)
+        out = jnp.transpose(preds, (1, 0, 2)).reshape(preds.shape[1], -1)
+        return out[None]
+
+    def run(params, graph: Graph):
+        arrays, statics = graph.arrays(), graph.statics()
+        fn = shard_map(partial(per_device, statics=statics), mesh=mesh,
+                       in_specs=(P(), _graph_specs(arrays, axis)),
+                       out_specs=P(axis), check_vma=False)
+        return fn(params, arrays)
+
+    return jax.jit(run)
+
+
 def make_gp_val_step(model, criterion, mesh: Mesh, max_n_out: int,
                      axis: str = "graph"):
     """Partitioned validation rollout: ``max_n_out`` steps feeding

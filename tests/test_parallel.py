@@ -365,3 +365,23 @@ def test_fit_on_mesh(tmp_path, axis):
     model.fit(cfg, loader, val_loader)
     for leaf in jax.tree_util.tree_leaves(model.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_gp_rollout_matches_single_device():
+    """Partitioned autoregressive rollout == single-device solve."""
+    from graphs4cfd_tpu.parallel import make_gp_rollout
+    model = g4c.nn.MuSGNN(arch=mus_arch(5, 1), seed=14)
+    batch = collate(_samples(17, [430]), node_bucket=64, edge_bucket=128)
+    ref = np.asarray(model.solve(batch.to_device(), n_out=3))
+
+    sharded, info = partition_graph(batch, 8)
+    mesh = make_mesh(num_data=1, num_graph=8)
+    out = np.asarray(make_gp_rollout(model, mesh, n_out=3)(
+        model.params, sharded.to_device()))
+    out = out.reshape(-1, out.shape[-1])
+    unperm = np.empty_like(out)
+    unperm[info["perms"][1]] = out
+    valid = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(unperm[valid], ref[valid],
+                               rtol=5e-4, atol=5e-4)
