@@ -83,6 +83,16 @@ def main():
     ap.add_argument("--patience", type=int, default=40)
     ap.add_argument("--dt", type=float, default=0.05)
     ap.add_argument("--lr", type=float, default=1e-3)
+    # the residual update is small vs the field, so training starts in an
+    # identity-map well; the curriculum must HOLD at n_out=1 until the
+    # model genuinely beats the frozen-field baseline (identity 1-step
+    # MSE ~(dt·|v|·|∇f|)² ≈ 2.5e-3 at dt=0.05) — a tolerance above that
+    # floor advances while still identity and multi-step escape stalls
+    ap.add_argument("--tolerance", type=float, default=1.2e-3)
+    # input noise delays the identity-well escape (its denoising gradient
+    # dominates the small advection signal early on); train noise-free
+    # first, then fine-tune with --resume --noise 0.01 for robustness
+    ap.add_argument("--noise", type=float, default=0.0)
     ap.add_argument("--resume", action="store_true",
                     help="resume from ./synthadv.chk if present")
     ap.add_argument("--eval-only", action="store_true",
@@ -109,12 +119,12 @@ def main():
         "mp121": mp, "mp122": mp,
         "decoder": (W, (W, W, 1), False),
     }
-    transform = Compose([
-        gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
-        gfd.transforms.ScaleEdgeAttr(0.04),
-        gfd.transforms.AddUniformNoise(0.01, seed=1),
-        gfd.transforms.GridClustering([0.1]),
-    ])
+    transform = Compose(
+        [gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
+         gfd.transforms.ScaleEdgeAttr(0.04)]
+        + ([gfd.transforms.AddUniformNoise(args.noise, seed=1)]
+           if args.noise > 0 else [])
+        + [gfd.transforms.GridClustering([0.1])])
     eval_transform = Compose([
         gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
         gfd.transforms.ScaleEdgeAttr(0.04),
@@ -131,7 +141,7 @@ def main():
         training_loss=gfd.nn.GraphLoss(), validation_loss=gfd.nn.GraphLoss(),
         epochs=args.epochs,
         num_steps=[n for n in (1, 2, 4, 6, 8, 10) if n <= args.nmax],
-        add_steps={"tolerance": 0.03, "loss": "training"},
+        add_steps={"tolerance": args.tolerance, "loss": "training"},
         batch_size=8, lr=args.lr, grad_clip={"epoch": 0, "limit": 1},
         scheduler={"factor": 0.5, "patience": args.patience,
                    "loss": "training"},
