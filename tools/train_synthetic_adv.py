@@ -93,6 +93,14 @@ def main():
     # dominates the small advection signal early on); train noise-free
     # first, then fine-tune with --resume --noise 0.01 for robustness
     ap.add_argument("--noise", type=float, default=0.0)
+    # MP depth of the 1-scale demo model.  Depth gates the identity-well
+    # escape hard under a small step budget: on a fixed batch, 2 MP layers
+    # reach 1-step gain 1.0 in 1.5k Adam steps while 4+ layers sit frozen
+    # at the identity loss for as long as we ran them (the reference's
+    # deep configs train with ~250k steps — 100x this demo's budget).
+    ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--two-scale", action="store_true",
+                    help="legacy 2-scale AdvTwoScaleGNN demo arch")
     ap.add_argument("--resume", action="store_true",
                     help="resume from ./synthadv.chk if present")
     ap.add_argument("--eval-only", action="store_true",
@@ -109,27 +117,36 @@ def main():
 
     W = args.width
     mp = ((W + 2 * W, (W, W, W), True), (W + W, (W, W, W), True))
-    arch = {
-        "edge_encoder": (2, (W, W, W), False),
-        "node_encoder": (4, (W, W, W), False),  # field(1) + loc(2) + omega(1)
-        "mp111": mp, "mp112": mp,
-        "down_mp12": (2 + W, (W, W, W), True),
-        "mp21": mp, "mp22": mp, "mp23": mp, "mp24": mp,
-        "up_mp21": (2 + W + W, (W, W, W), True),
-        "mp121": mp, "mp122": mp,
-        "decoder": (W, (W, W, 1), False),
-    }
+    if args.two_scale:
+        arch = {
+            "edge_encoder": (2, (W, W, W), False),
+            "node_encoder": (4, (W, W, W), False),
+            "mp111": mp, "mp112": mp,
+            "down_mp12": (2 + W, (W, W, W), True),
+            "mp21": mp, "mp22": mp, "mp23": mp, "mp24": mp,
+            "up_mp21": (2 + W + W, (W, W, W), True),
+            "mp121": mp, "mp122": mp,
+            "decoder": (W, (W, W, 1), False),
+        }
+    else:
+        arch = {
+            "edge_encoder": (2, (W, W, W), False),
+            "node_encoder": (4, (W, W, W), False),
+            **{f"mp1{i}": mp for i in range(1, args.depth + 1)},
+            "decoder": (W, (W, W, 1), False),
+        }
     transform = Compose(
         [gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
          gfd.transforms.ScaleEdgeAttr(0.04)]
         + ([gfd.transforms.AddUniformNoise(args.noise, seed=1)]
            if args.noise > 0 else [])
-        + [gfd.transforms.GridClustering([0.1])])
-    eval_transform = Compose([
-        gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
-        gfd.transforms.ScaleEdgeAttr(0.04),
-        gfd.transforms.GridClustering([0.1]),
-    ])
+        + ([gfd.transforms.GridClustering([0.1])] if args.two_scale
+           else []))
+    eval_transform = Compose(
+        [gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
+         gfd.transforms.ScaleEdgeAttr(0.04)]
+        + ([gfd.transforms.GridClustering([0.1])] if args.two_scale
+           else []))
     n_out_max = args.nmax
     train_ds = SyntheticAdv(args.sims, args.n_nodes, n_out_max, transform,
                         seed=1, dt=args.dt)
@@ -146,7 +163,8 @@ def main():
         scheduler={"factor": 0.5, "patience": args.patience,
                    "loss": "training"},
         stopping=1e-8, mixed_precision=not args.cpu)
-    model = gfd.nn.AdvTwoScaleGNN(
+    cls = gfd.nn.AdvTwoScaleGNN if args.two_scale else gfd.nn.AdvOneScaleGNN
+    model = cls(
         arch=arch, scan_layers=True,
         compute_dtype=jnp.bfloat16 if not args.cpu else jnp.float32)
     print(f"params: {model.num_params}", file=sys.stderr)
