@@ -134,6 +134,18 @@ def fit(model, train_config: TrainConfig, train_loader,
     if cfg["checkpoint"] is not None and os.path.exists(cfg["checkpoint"]):
         print("Training from an existing check-point:", cfg["checkpoint"])
         state = load_checkpoint(cfg["checkpoint"])
+        chk_shapes = [np.shape(x) for x in
+                      jax.tree_util.tree_leaves(state["weights"])]
+        own_shapes = [x.shape for x in
+                      jax.tree_util.tree_leaves(model.params)]
+        if chk_shapes != own_shapes:
+            raise ValueError(
+                f"checkpoint {cfg['checkpoint']!r} does not match this "
+                f"model's architecture: {len(chk_shapes)} saved arrays "
+                f"vs {len(own_shapes)} parameters "
+                f"(first mismatch: "
+                f"{next((a, b) for a, b in zip(chk_shapes, own_shapes) if a != b) if len(chk_shapes) == len(own_shapes) else 'leaf count'}"
+                f") — was it written by a different arch dict?")
         model.params = jax.tree_util.tree_map(jnp.asarray, state["weights"])
         if state.get("optimiser") is not None:
             opt_state = jax.tree_util.tree_unflatten(

@@ -53,6 +53,23 @@ def test_checkpoint_roundtrip(tmp_path):
     assert model2.arch == model.arch
 
 
+def test_resume_rejects_mismatched_arch(tmp_path):
+    """A checkpoint from a different arch must fail loudly, not with an
+    opaque tree-unflatten error (VERDICT r1 weak #8)."""
+    import pytest
+    small = gfd.nn.MuSGNN(arch=mus_arch(5, 1), seed=2)
+    path = str(tmp_path / "small.chk")
+    save_checkpoint(path, arch=small.arch, weights=small.params,
+                    n_out=1, lr=1e-4, epoch=3)
+    big = gfd.nn.MuSGNN(arch=mus_arch(9, 2), seed=0)
+    cfg = gfd.nn.TrainConfig(
+        name="t", folder=str(tmp_path), checkpoint=path,
+        training_loss=gfd.nn.GraphLoss(), epochs=1, num_steps=[1],
+        batch_size=1, lr=1e-4, mixed_precision=False)
+    with pytest.raises(ValueError, match="does not match this model"):
+        big.fit(cfg, train_loader=None)
+
+
 def test_shift_and_replace():
     model = gfd.nn.MuSGNN(arch=mus_arch(5, 2), seed=0)
     assert model.num_fields == 2
