@@ -884,6 +884,141 @@ def make_gp_train_step(model, criterion, mesh: Mesh, n_out: int = 1,
     return jax.jit(step)
 
 
+def make_dp_gp_train_step(model, criterion, mesh: Mesh, n_out: int = 1,
+                          grad_clip_limit=None,
+                          axes: Tuple[str, str] = ("data", "graph")):
+    """Jitted training step over the full 2-axis composition: batch groups
+    on ``data`` (DP over DCN/ICI), each group's graph edge-partitioned on
+    ``graph`` (halo exchange over ICI) — the real-pod topology
+    ``make_hybrid_mesh`` exists for (SURVEY §2.3: DP and graph-partition
+    jointly first-class).
+
+    Input graphs come from ``partition_batches`` (arrays
+    ``[num_groups, num_parts, ...]``).  The loss is the exact global
+    criterion — one fused psum of the per-term numerators/denominators
+    over BOTH axes (``GraphLoss.distributed(axes)``) — so composed ==
+    single-device bit-for-bit up to reduction order; parameter gradients
+    reduce over both axes automatically through the shard_map transpose.
+    Per-rollout-step optimiser updates as everywhere else
+    (``/root/reference/graphs4cfd/nn/model.py:226-254``).
+    """
+    import optax
+    from ..nn.model import grad_norm2
+    opt = optax.scale_by_adam()
+    num_fields = model.num_fields
+    body = gp_apply_fn(model)
+    dist = getattr(criterion, "distributed", None)
+    da, ga = axes
+
+    def per_device_loss(params, arrays, statics, t):
+        arrays = {k: v[0, 0] for k, v in arrays.items()}
+        graph = Graph(data={**arrays, **statics})
+        pred = body(params, graph, axis=ga)
+        tgt = jax.lax.dynamic_slice_in_dim(graph.target, t * num_fields,
+                                           num_fields, axis=1)
+        if dist is not None:
+            loss = dist(graph, pred, tgt, axes)
+        else:
+            mask = graph.node_mask
+            sq = jnp.where(mask[:, None], (pred - tgt) ** 2, 0.0)
+            total = jax.lax.psum(sq.sum(), axes)
+            cnt = jax.lax.psum(mask.sum() * num_fields, axes)
+            loss = total / jnp.maximum(cnt, 1)
+        return loss, pred[None, None]
+
+    def step(params, opt_state, graph: Graph, lr, clip_on):
+        arrays, statics = graph.arrays(), graph.statics()
+
+        def loss_t(params, field_shards, t):
+            arr = dict(arrays)
+            arr["field"] = field_shards
+            fn = shard_map(
+                partial(per_device_loss, statics=statics, t=t),
+                mesh=mesh,
+                in_specs=(P(), {k: P(da, ga) for k in arr}),
+                out_specs=(P(), P(da, ga)),
+                check_vma=False)
+            return fn(params, arr)
+
+        def body_t(carry, t):
+            params, opt_state, field = carry
+            (loss, pred), grads = jax.value_and_grad(
+                lambda p: loss_t(p, field, t), has_aux=True)(params)
+            gnorm = grad_norm2(grads)
+            if grad_clip_limit is not None:
+                scale = jnp.where(clip_on & (gnorm > grad_clip_limit),
+                                  grad_clip_limit / jnp.maximum(gnorm, 1e-12),
+                                  1.0)
+                grads = jax.tree_util.tree_map(lambda g_: g_ * scale, grads)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(params, updates)
+            field = jnp.concatenate(
+                [field[..., num_fields:], jax.lax.stop_gradient(pred)],
+                axis=-1)
+            return (params, opt_state, field), (loss, gnorm)
+
+        (params, opt_state, _), (losses, gnorms) = jax.lax.scan(
+            body_t, (params, opt_state, arrays["field"]),
+            jnp.arange(n_out, dtype=jnp.int32))
+        return params, opt_state, losses.mean(), gnorms.mean()
+
+    return jax.jit(step)
+
+
+def make_dp_gp_val_step(model, criterion, mesh: Mesh, max_n_out: int,
+                        axes: Tuple[str, str] = ("data", "graph")):
+    """Validation rollout over the 2-axis composition: ``max_n_out`` steps
+    feeding predictions back un-detached (``model.py:260-273``), exact
+    global loss per step psum'd over both axes."""
+    body = gp_apply_fn(model)
+    num_fields = model.num_fields
+    dist = getattr(criterion, "distributed", None)
+    da, ga = axes
+
+    def per_device(params, arrays: dict, *, statics: dict):
+        arrays = {k: v[0, 0] for k, v in arrays.items()}
+        graph = Graph(data={**arrays, **statics})
+        target = graph.target
+
+        def scan_body(field, t):
+            g = graph.replace(field=field)
+            pred = body(params, g, axis=ga)
+            tgt = jax.lax.dynamic_slice_in_dim(
+                target, t * num_fields, num_fields, axis=1)
+            if dist is not None:
+                loss = dist(g, pred, tgt, axes)
+            else:
+                mask = g.node_mask
+                sq = jnp.where(mask[:, None], (pred - tgt) ** 2, 0.0)
+                loss = jax.lax.psum(sq.sum(), axes) / jnp.maximum(
+                    jax.lax.psum(mask.sum() * num_fields, axes), 1)
+            field = jnp.concatenate([field[:, num_fields:], pred], axis=1)
+            return field, loss
+
+        _, losses = jax.lax.scan(scan_body, graph.field,
+                                 jnp.arange(max_n_out, dtype=jnp.int32))
+        return losses.mean()
+
+    def run(params, graph: Graph):
+        arrays, statics = graph.arrays(), graph.statics()
+        fn = shard_map(partial(per_device, statics=statics), mesh=mesh,
+                       in_specs=(P(), {k: P(da, ga) for k in arrays}),
+                       out_specs=P(), check_vma=False)
+        return fn(params, arrays)
+
+    return jax.jit(run)
+
+
+def regroup_sharded(graph: Graph, num_groups: int) -> List[Graph]:
+    """Split a ``collate_sharded`` batch (leading shard axis) back into its
+    per-group collated Graphs — the input ``partition_batches`` wants when
+    composing DP×GP from one loader batch."""
+    arrays, statics = graph.arrays(), graph.statics()
+    return [Graph(data={**{k: v[g] for k, v in arrays.items()}, **statics})
+            for g in range(num_groups)]
+
+
 def make_gp_rollout(model, mesh: Mesh, n_out: int, axis: str = "graph"):
     """Partitioned autoregressive rollout (the GP counterpart of
     ``training.rollout.solve`` / ``parallel.make_dp_rollout``): each device

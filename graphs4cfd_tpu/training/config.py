@@ -46,7 +46,8 @@ class TrainConfig:
                  device=None,
                  seed: int = 0,
                  devices: int = 1,
-                 graph_devices: int = 1):
+                 graph_devices: int = 1,
+                 checkpoint_format: str = "pickle"):
         self.name = name
         self.folder = folder
         self.checkpoint = checkpoint
@@ -71,6 +72,16 @@ class TrainConfig:
         # batch graph over a graph-parallel axis (SURVEY §5 long-context).
         self.devices = devices
         self.graph_devices = graph_devices
+        # "pickle" writes the reference's one-file .chk schema;
+        # "orbax" routes fit's periodic checkpoints through
+        # OrbaxCheckpointer (atomic, step-versioned, multi-host-safe) into
+        # <folder>/<name>_orbax/, resuming from its latest step when
+        # ``checkpoint`` is set.
+        if checkpoint_format not in ("pickle", "orbax"):
+            raise ValueError(
+                f"checkpoint_format must be 'pickle' or 'orbax', got "
+                f"{checkpoint_format!r}")
+        self.checkpoint_format = checkpoint_format
 
     def __repr__(self):
         return repr(self.__dict__)

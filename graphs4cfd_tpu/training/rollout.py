@@ -40,10 +40,16 @@ def solve(model, graph: Graph, n_out: int) -> jnp.ndarray:
     if isinstance(graph, (list, tuple)):
         from ..loader import collate
         graph = collate([g.numpy() for g in graph]).to_device()
+    # LRU-bounded: a long-lived inference process sweeping horizons would
+    # otherwise accumulate one compiled program per distinct n_out forever.
     cache = getattr(model, "_solve_cache", None)
     if cache is None:
-        cache = model._solve_cache = {}
+        from collections import OrderedDict
+        cache = model._solve_cache = OrderedDict()
     if n_out not in cache:
         cache[n_out] = jax.jit(partial(_rollout, model.apply, n_out=n_out,
                                        num_fields=model.num_fields))
+        while len(cache) > 8:
+            cache.popitem(last=False)
+    cache.move_to_end(n_out)
     return cache[n_out](model.params, graph)

@@ -130,22 +130,56 @@ def fit(model, train_config: TrainConfig, train_loader,
                                       cfg["scheduler"]["patience"])
     initial_epoch = 1
 
+    # ---- checkpoint backend (pickle .chk or step-versioned orbax) ----------
+    orbax = None
+    if cfg["checkpoint_format"] == "orbax":
+        from .checkpoint import OrbaxCheckpointer
+        orbax = OrbaxCheckpointer(
+            os.path.join(cfg["folder"], cfg["name"] + "_orbax"))
+
     # ---- resume ------------------------------------------------------------
-    if cfg["checkpoint"] is not None and os.path.exists(cfg["checkpoint"]):
-        print("Training from an existing check-point:", cfg["checkpoint"])
-        state = load_checkpoint(cfg["checkpoint"])
+    state = None
+    if cfg["checkpoint"] is not None:
+        if orbax is not None:
+            if orbax.latest_step() is not None:
+                state = orbax.restore()
+        elif os.path.exists(cfg["checkpoint"]):
+            state = load_checkpoint(cfg["checkpoint"])
+    if state is not None:
+        print("Training from an existing check-point:",
+              orbax.directory if orbax is not None else cfg["checkpoint"])
+        # The checkpoint self-describes its architecture (model.py:122-129);
+        # comparing arch dicts catches structure mismatches that a bare
+        # leaf-shape comparison would miss (identical shapes, different
+        # wiring).  Shape comparison stays as a fallback for weights-only
+        # states without an arch entry.
+        chk_arch = state.get("arch")
+        if chk_arch is not None and model.arch is not None \
+                and dict(chk_arch) != dict(model.arch):
+            diff_keys = [k for k in (set(chk_arch) | set(model.arch))
+                         if chk_arch.get(k) != model.arch.get(k)]
+            raise ValueError(
+                f"checkpoint {cfg['checkpoint']!r} does not match this "
+                f"model's architecture — written by a different arch dict "
+                f"(mismatched entries: {sorted(diff_keys)[:5]}); resume it "
+                f"with the matching model class/arch")
         chk_shapes = [np.shape(x) for x in
                       jax.tree_util.tree_leaves(state["weights"])]
         own_shapes = [x.shape for x in
                       jax.tree_util.tree_leaves(model.params)]
         if chk_shapes != own_shapes:
+            if len(chk_shapes) != len(own_shapes):
+                first_mismatch = (f"leaf count {len(chk_shapes)} vs "
+                                  f"{len(own_shapes)}")
+            else:
+                first_mismatch = next((a, b) for a, b in
+                                      zip(chk_shapes, own_shapes) if a != b)
             raise ValueError(
                 f"checkpoint {cfg['checkpoint']!r} does not match this "
                 f"model's architecture: {len(chk_shapes)} saved arrays "
-                f"vs {len(own_shapes)} parameters "
-                f"(first mismatch: "
-                f"{next((a, b) for a, b in zip(chk_shapes, own_shapes) if a != b) if len(chk_shapes) == len(own_shapes) else 'leaf count'}"
-                f") — was it written by a different arch dict?")
+                f"vs {len(own_shapes)} parameters (first mismatch: "
+                f"{first_mismatch}) — was it written by a different arch "
+                f"dict?")
         model.params = jax.tree_util.tree_map(jnp.asarray, state["weights"])
         if state.get("optimiser") is not None:
             opt_state = jax.tree_util.tree_unflatten(
@@ -156,6 +190,12 @@ def fit(model, train_config: TrainConfig, train_loader,
         if scheduler is not None and "scheduler" in state:
             scheduler.load_state_dict(state["scheduler"])
             lr = scheduler.lr
+        if state["n_out"] > max_n_out:
+            raise ValueError(
+                f"checkpoint {cfg['checkpoint']!r} was saved at curriculum "
+                f"position n_out={state['n_out']}, beyond this run's "
+                f"num_steps={num_steps_list} — extend num_steps to cover "
+                f"the checkpoint's position")
         while n_out < state["n_out"]:
             n_out = next(num_steps)
         initial_epoch = state["epoch"] + 1
@@ -164,9 +204,9 @@ def fit(model, train_config: TrainConfig, train_loader,
             print("Not matching check-point file:", cfg["checkpoint"])
         print("Training from randomly initialised weights")
 
-    # ---- .chk → .bck rename (model.py:196-199) ----------------------------
+    # ---- .chk → .bck rename (model.py:196-199; orbax versions itself) -----
     path = os.path.join(cfg["folder"], cfg["name"] + ".chk")
-    if os.path.exists(path):
+    if orbax is None and os.path.exists(path):
         print("Renaming", path, "to:", path + ".bck")
         os.rename(path, path + ".bck")
 
@@ -191,10 +231,6 @@ def fit(model, train_config: TrainConfig, train_loader,
     # semantics preserved (per-t optimiser updates under the reduction).
     dp = int(cfg["devices"] or 1)
     gpd = int(cfg["graph_devices"] or 1)
-    if dp > 1 and gpd > 1:
-        raise NotImplementedError(
-            "fit drives one distribution axis; for DP×GP compose "
-            "parallel.make_gp_train_step over a 2-axis mesh directly")
     mesh = None
     if dp > 1 or gpd > 1:
         import jax as _jax
@@ -202,8 +238,7 @@ def fit(model, train_config: TrainConfig, train_loader,
         need = max(dp, 1) * max(gpd, 1)
         assert len(_jax.devices()) >= need, \
             f"TrainConfig wants {need} devices, have {len(_jax.devices())}"
-        mesh = (make_mesh(num_data=dp) if dp > 1
-                else make_mesh(num_data=1, num_graph=gpd))
+        mesh = make_mesh(num_data=max(dp, 1), num_graph=max(gpd, 1))
         print(f"Training on mesh {dict(mesh.shape)}")
     if dp > 1:
         for loader in (train_loader, val_loader):
@@ -214,7 +249,12 @@ def fit(model, train_config: TrainConfig, train_loader,
 
     def get_step(n):
         if n not in step_cache:
-            if dp > 1:
+            if dp > 1 and gpd > 1:
+                from ..parallel import make_dp_gp_train_step
+                step_cache[n] = make_dp_gp_train_step(
+                    model, criterion, mesh, n_out=n,
+                    grad_clip_limit=clip_limit)
+            elif dp > 1:
                 from ..parallel import make_dp_train_step
                 step_cache[n] = make_dp_train_step(
                     model.apply, criterion, model.num_fields, n,
@@ -232,6 +272,9 @@ def fit(model, train_config: TrainConfig, train_loader,
     val_criterion = cfg["validation_loss"] or criterion
     if val_loader is None:
         val_step = None
+    elif dp > 1 and gpd > 1:
+        from ..parallel import make_dp_gp_val_step
+        val_step = make_dp_gp_val_step(model, val_criterion, mesh, max_n_out)
     elif dp > 1:
         from ..parallel import make_dp_val_step
         val_step = make_dp_val_step(model.apply, val_criterion,
@@ -244,8 +287,13 @@ def fit(model, train_config: TrainConfig, train_loader,
                                  model.num_fields, max_n_out)
 
     def prepare(graph):
-        """Host-side per-batch prep: GP partitions the collated graph."""
-        if gpd > 1:
+        """Host-side per-batch prep: GP partitions the collated graph;
+        DP×GP re-groups the sharded batch and partitions each group."""
+        if dp > 1 and gpd > 1:
+            from ..parallel import partition_batches
+            from ..parallel.graph_parallel import regroup_sharded
+            graph = partition_batches(regroup_sharded(graph, dp), gpd)[0]
+        elif gpd > 1:
             from ..parallel import partition_graph
             graph = partition_graph(graph, gpd)[0]
         return graph.to_device()
@@ -253,12 +301,20 @@ def fit(model, train_config: TrainConfig, train_loader,
     print(f"Number of trainable parameters: {model.num_params}")
     sched_state = scheduler.state_dict() if scheduler else None
 
+    def save_state(epoch):
+        if orbax is not None:
+            orbax.save(epoch, arch=model.arch, weights=model.params,
+                       opt_state=opt_state, n_out=n_out, lr=lr,
+                       scheduler_state=sched_state)
+        else:
+            model.save_checkpoint(path, n_out, epoch, opt_state=opt_state,
+                                  lr=lr, scheduler_state=sched_state)
+
     for epoch in range(initial_epoch, cfg["epochs"] + 1):
         if lr < cfg["stopping"]:
             print(f"The learning rate is smaller than {cfg['stopping']}. "
                   "Stopping training.")
-            model.save_checkpoint(path, n_out, epoch, opt_state=opt_state,
-                                  lr=lr, scheduler_state=sched_state)
+            save_state(epoch)
             break
         print(f"Hyperparameters: n_out = {n_out}, lr = {lr}")
         train_step = get_step(n_out)
@@ -328,8 +384,7 @@ def fit(model, train_config: TrainConfig, train_loader,
 
         # ---- checkpoint ----------------------------------------------------
         if not epoch % cfg["chk_interval"]:
-            model.save_checkpoint(path, n_out, epoch, opt_state=opt_state,
-                                  lr=lr, scheduler_state=sched_state)
+            save_state(epoch)
 
         # ---- curriculum (model.py:289-298) --------------------------------
         if cfg["add_steps"]["loss"][:2] == "tr":

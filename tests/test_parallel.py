@@ -320,7 +320,7 @@ def test_graph_parallel_fused_wg_kernel_exact(monkeypatch):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-@pytest.mark.parametrize("axis", ["dp", "gp"])
+@pytest.mark.parametrize("axis", ["dp", "gp", "dpgp"])
 def test_fit_on_mesh(tmp_path, axis):
     """model.fit trains end-to-end on the virtual mesh straight from
     TrainConfig (devices / graph_devices), with curriculum + checkpoint +
@@ -342,8 +342,9 @@ def test_fit_on_mesh(tmp_path, axis):
             return g
 
     model = g4c.nn.MuSGNN(arch=mus_arch(5, 1), seed=9)
-    kw = dict(devices=4, batch_size=4) if axis == "dp" else \
-        dict(graph_devices=8, batch_size=8)
+    kw = {"dp": dict(devices=4, batch_size=4),
+          "gp": dict(graph_devices=8, batch_size=8),
+          "dpgp": dict(devices=2, graph_devices=4, batch_size=4)}[axis]
     cfg = g4c.nn.TrainConfig(
         name="mesh_fit", folder=str(tmp_path), tensor_board=None,
         chk_interval=1, training_loss=GraphLoss(lambda_d=0.25),

@@ -51,4 +51,7 @@ def test_100_step_rollout_accuracy():
     # over 100 autoregressive steps)
     assert r2_50 >= pins["r2_step50_min"], (r2_50, pins)
     assert rmse <= pins["rollout_rmse_max"], (rmse, pins)
-    assert np.isfinite(r2_100)
+    if "r2_step100_min" in pins:
+        assert r2_100 >= pins["r2_step100_min"], (r2_100, pins)
+    else:
+        assert np.isfinite(r2_100)

@@ -70,6 +70,73 @@ def test_resume_rejects_mismatched_arch(tmp_path):
         big.fit(cfg, train_loader=None)
 
 
+def test_resume_rejects_out_of_range_n_out(tmp_path):
+    """A checkpoint saved beyond this run's curriculum must fail loudly,
+    not with a bare StopIteration (VERDICT r2 weak #5)."""
+    import pytest
+    model = gfd.nn.MuSGNN(arch=mus_arch(5, 1), seed=2)
+    path = str(tmp_path / "deep.chk")
+    save_checkpoint(path, arch=model.arch, weights=model.params,
+                    n_out=8, lr=1e-4, epoch=3)
+    cfg = gfd.nn.TrainConfig(
+        name="t", folder=str(tmp_path), checkpoint=path,
+        training_loss=gfd.nn.GraphLoss(), epochs=1, num_steps=[1, 2, 4],
+        batch_size=1, lr=1e-4, mixed_precision=False)
+    with pytest.raises(ValueError, match="beyond this run's"):
+        model.fit(cfg, train_loader=None)
+
+
+def _tiny_loader():
+    from graphs4cfd_tpu.loader import DataLoader
+    import graphs4cfd_tpu.transforms as T
+
+    pipeline = [T.ConnectKNN(k=4), T.ScaleEdgeAttr(0.02),
+                T.GridClustering([0.3])]
+
+    class DS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            g = make_cloud(np.random.default_rng(100 + i), 60 + i)
+            for t in pipeline:
+                g = t(g)
+            return g
+
+    return DataLoader(DS(), batch_size=2, node_bucket=16, edge_bucket=64)
+
+
+def test_fit_orbax_checkpoint_format(tmp_path):
+    """checkpoint_format='orbax' routes fit's periodic checkpoints through
+    the versioned OrbaxCheckpointer and resumes from the latest step
+    (VERDICT r2 weak #6 — Orbax was dead code in the main loop)."""
+    import pytest
+    pytest.importorskip("orbax.checkpoint")
+    from graphs4cfd_tpu.training import OrbaxCheckpointer
+
+    model = gfd.nn.MuSGNN(arch=mus_arch(5, 1), seed=5)
+    cfg = gfd.nn.TrainConfig(
+        name="orb", folder=str(tmp_path), chk_interval=1,
+        training_loss=gfd.nn.GraphLoss(), epochs=2, num_steps=[1],
+        batch_size=2, lr=1e-3, mixed_precision=False,
+        checkpoint_format="orbax")
+    loader = _tiny_loader()
+    model.fit(cfg, loader)
+    ck = OrbaxCheckpointer(str(tmp_path / "orb_orbax"))
+    assert ck.latest_step() == 2
+    saved = ck.restore()
+    for a, b in zip(jax.tree_util.tree_leaves(model.params),
+                    jax.tree_util.tree_leaves(saved["weights"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resume: epochs 3.. continue from step 2 without touching .chk files
+    cfg.checkpoint = str(tmp_path / "orb_orbax")
+    cfg.epochs = 3
+    model.fit(cfg, loader)
+    ck2 = OrbaxCheckpointer(str(tmp_path / "orb_orbax"))
+    assert ck2.latest_step() == 3
+    assert not (tmp_path / "orb.chk").exists()
+
+
 def test_shift_and_replace():
     model = gfd.nn.MuSGNN(arch=mus_arch(5, 2), seed=0)
     assert model.num_fields == 2

@@ -31,15 +31,25 @@ def field_fn(pos, t, vel, modes):
 
 
 class SyntheticAdv:
-    """Analytic advection dataset in the framework's Graph format."""
+    """Analytic advection dataset in the framework's Graph format.
+
+    Node positions are FIXED per simulation, so the graph topology
+    (k-NN edges, edge_attr, cluster levels) is built ONCE per sim and
+    cached; each access only recomputes the analytic field/target window
+    (plus optional training noise on the copy).  Without this the epoch
+    loop was host-bound on per-sample k-NN rebuilds (~10 s/epoch of
+    which <0.5 s was device work).
+    """
 
     def __init__(self, n_sims, n_nodes, n_out, transform, seed=0, T=60,
-                 dt=0.01):
+                 dt=0.01, noise_transform=None):
         self.n_sims, self.n_nodes, self.T, self.dt = n_sims, n_nodes, T, dt
         self.n_out = n_out
         self.transform = transform
+        self.noise_transform = noise_transform
         self.rng = np.random.default_rng(seed)
         self.sims = []
+        self._base = [None] * n_sims
         for i in range(n_sims):
             r = np.random.default_rng(seed * 1000 + i)
             pos = r.random((n_nodes, 2)).astype(np.float32)
@@ -52,23 +62,36 @@ class SyntheticAdv:
     def __len__(self):
         return self.n_sims
 
-    def graph_at(self, i, t0, n_out):
+    def _base_graph(self, i):
+        """Topology-carrying graph for sim i, built once (field at t=0)."""
         from graphs4cfd_tpu.graph import Graph
+        if self._base[i] is None:
+            pos, vel, modes = self.sims[i]
+            g = Graph()
+            g.pos = pos
+            g.loc = np.broadcast_to(vel, (self.n_nodes, 2)).copy()
+            g.field = field_fn(pos, 0.0, vel, modes)
+            g.target = g.field
+            g.omega = np.zeros((self.n_nodes, 1), np.float32)
+            g.bound = np.ones(self.n_nodes, np.uint8)  # periodic everywhere
+            self._base[i] = self.transform(g)
+        return self._base[i]
+
+    def graph_at(self, i, t0, n_out):
         pos, vel, modes = self.sims[i]
-        g = Graph()
-        g.pos = pos
-        g.loc = np.broadcast_to(vel, (self.n_nodes, 2)).copy()
-        g.field = field_fn(pos, t0 * self.dt, vel, modes)
-        g.target = np.concatenate(
-            [field_fn(pos, (t0 + 1 + j) * self.dt, vel, modes)
-             for j in range(n_out)], axis=1)
-        g.omega = np.zeros((self.n_nodes, 1), np.float32)
-        g.bound = np.ones(self.n_nodes, np.uint8)  # periodic everywhere
-        return self.transform(g)
+        base = self._base_graph(i)
+        return base.replace(
+            field=field_fn(pos, t0 * self.dt, vel, modes),
+            target=np.concatenate(
+                [field_fn(pos, (t0 + 1 + j) * self.dt, vel, modes)
+                 for j in range(n_out)], axis=1))
 
     def __getitem__(self, i):
         t0 = int(self.rng.integers(0, self.T - self.n_out - 1))
-        return self.graph_at(i, t0, self.n_out)
+        g = self.graph_at(i, t0, self.n_out)
+        if self.noise_transform is not None:
+            g = self.noise_transform(g)
+        return g
 
 
 def main():
@@ -105,6 +128,9 @@ def main():
                     help="resume from ./synthadv.chk if present")
     ap.add_argument("--eval-only", action="store_true",
                     help="skip training; evaluate ./synthadv.chk")
+    ap.add_argument("--pin-fixture", action="store_true",
+                    help="copy the checkpoint + accuracy pins into "
+                         "tests/fixtures/ (arms the rollout regression)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -135,23 +161,19 @@ def main():
             **{f"mp1{i}": mp for i in range(1, args.depth + 1)},
             "decoder": (W, (W, W, 1), False),
         }
-    transform = Compose(
-        [gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
-         gfd.transforms.ScaleEdgeAttr(0.04)]
-        + ([gfd.transforms.AddUniformNoise(args.noise, seed=1)]
-           if args.noise > 0 else [])
-        + ([gfd.transforms.GridClustering([0.1])] if args.two_scale
-           else []))
-    eval_transform = Compose(
+    topo_transform = Compose(
         [gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
          gfd.transforms.ScaleEdgeAttr(0.04)]
         + ([gfd.transforms.GridClustering([0.1])] if args.two_scale
            else []))
+    noise_transform = (gfd.transforms.AddUniformNoise(args.noise, seed=1)
+                       if args.noise > 0 else None)
     n_out_max = args.nmax
-    train_ds = SyntheticAdv(args.sims, args.n_nodes, n_out_max, transform,
-                        seed=1, dt=args.dt)
-    val_ds = SyntheticAdv(4, args.n_nodes, n_out_max, eval_transform,
-                      seed=99, dt=args.dt)
+    train_ds = SyntheticAdv(args.sims, args.n_nodes, n_out_max,
+                            topo_transform, seed=1, dt=args.dt,
+                            noise_transform=noise_transform)
+    val_ds = SyntheticAdv(4, args.n_nodes, n_out_max, topo_transform,
+                          seed=99, dt=args.dt)
     cfg = gfd.nn.TrainConfig(
         name="synthadv", folder=".", tensor_board=None, chk_interval=10,
         checkpoint="./synthadv.chk" if args.resume else None,
@@ -207,6 +229,31 @@ def main():
     print(json.dumps(results))
     with open("synthetic_adv_results.json", "w") as f:
         json.dump(results, f, indent=1)
+
+    if args.pin_fixture:
+        # Bundle the checkpoint + pins so tests/test_rollout_regression.py
+        # becomes a live gate (BASELINE north star: 100-step accuracy).
+        import shutil
+        fixdir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests", "fixtures")
+        os.makedirs(fixdir, exist_ok=True)
+        shutil.copy("./synthadv.chk", os.path.join(fixdir,
+                                                   "synthadv_model.chk"))
+        pins = {
+            "n_nodes": args.n_nodes, "dt": args.dt,
+            "two_scale": bool(args.two_scale),
+            "model_cls": ("AdvTwoScaleGNN" if args.two_scale
+                          else "AdvOneScaleGNN"),
+            # pinned with slack for CPU-vs-TPU numerics drift over the
+            # autoregressive horizon
+            "r2_step50_min": round(results.get("r2_step50", 0.0) - 0.1, 4),
+            "r2_step100_min": round(results.get("r2_step100", 0.0) - 0.1,
+                                    4),
+            "rollout_rmse_max": round(results["rollout_rmse"] * 1.3, 5),
+        }
+        with open(os.path.join(fixdir, "synthadv_pins.json"), "w") as f:
+            json.dump(pins, f, indent=1)
+        print("pinned fixture:", pins)
 
 
 if __name__ == "__main__":
