@@ -189,6 +189,43 @@ def main(max_devices=None, tpu=False):
         print(json.dumps({"metric": "gp_machinery_overhead_1chip",
                           "value": round(overhead * 100, 1), "unit": "%",
                           "vs_baseline": round(dt1 / dtg, 3)}))
+        # ---- curriculum-phase cost: one n_out=10 step ----------------------
+        # the t-scan reuses one compiled body, so this meters the real
+        # 10-rollout-step training program the curriculum tops out at
+        rate10, dt10 = measure_single(batch, model, criterion, n_out=10,
+                                      iters=3)
+        log(f"single-device n_out=10: {dt10*1e3:.1f} ms/step "
+            f"({dt10/dt1/10:.2f}x the n_out=1 step per t), "
+            f"{rate10:.3e} edges/s")
+        print(json.dumps({"metric": "mus3_train_step_ms_nout10",
+                          "value": round(dt10 * 1e3, 1), "unit": "ms",
+                          "vs_baseline": round(dt1 * 10 / dt10, 3)}))
+        # ---- comm/compute overlap window (VERDICT r2 weak #3) --------------
+        # the halo-independent compute per step (everything except the
+        # sender projection+gather path) is the budget XLA's latency-hiding
+        # scheduler can run UNDER the all_to_all; measure it directly with
+        # the zero_vsg ablation and compare to the per-step comm time
+        import os as _os
+        _os.environ["GRAPHS4CFD_ABLATE"] = "zero_vsg"
+        try:
+            _, dt_zero = measure_single(batch, model, criterion, iters=3)
+        finally:
+            _os.environ.pop("GRAPHS4CFD_ABLATE", None)
+        log(f"zero_vsg (halo-independent compute): {dt_zero*1e3:.1f} ms")
+        # forced-sequential A/B needs a real multi-chip graph axis; run it
+        # whenever one exists (one command on a pod: this same bench)
+        n_tpu = len(jax.devices())
+        if n_tpu > 1:
+            rate_o, dt_o, _ = measure_gp(n_tpu, batch, model, criterion)
+            _os.environ["GRAPHS4CFD_ABLATE"] = "serialize_halo"
+            try:
+                rate_s, dt_s, _ = measure_gp(n_tpu, batch, model, criterion)
+            finally:
+                _os.environ.pop("GRAPHS4CFD_ABLATE", None)
+            print(json.dumps({
+                "metric": f"gp_halo_overlap_gain_{n_tpu}chip",
+                "value": round((dt_s / dt_o - 1) * 100, 1), "unit": "%",
+                "vs_baseline": round(dt_s / dt_o, 3)}))
         # ---- analytic ICI projection @8 chips ------------------------------
         tr = halo_traffic_bytes(batch, 8, model)
         # v5e ICI: ~45 GB/s usable per direction per link, 2D ring; the
@@ -205,6 +242,18 @@ def main(max_devices=None, tpu=False):
         print(json.dumps({"metric": "gp_projected_ici_efficiency_8chip",
                           "value": round(eff * 100, 1), "unit": "%",
                           "vs_baseline": round(eff, 3)}))
+        # overlap window: halo-independent compute per chip vs comm — a
+        # ratio >> 1 means the scheduler has that many times the collective
+        # duration of independent work to hide it under; the full-overlap
+        # bound complements the zero-overlap projection above
+        window = dt_zero / 8
+        ratio = window / max(t_comm, 1e-12)
+        eff_full = t_comp / (t_comp + max(0.0, t_comm - window))
+        log(f"overlap window {window*1e3:.2f} ms vs comm "
+            f"{t_comm*1e6:.0f} us -> ratio {ratio:.1f}")
+        print(json.dumps({"metric": "gp_overlap_window_ratio_8chip",
+                          "value": round(ratio, 1), "unit": "x",
+                          "vs_baseline": round(eff_full, 3)}))
         return
 
     # ---- virtual CPU mesh (relative numbers; 2-core host caps speedup) ----

@@ -18,6 +18,10 @@ def ablation() -> str:
     * ``zero_vsg``   — drop the sender projection+gather path entirely.
     * ``bcast_vsg``  — replace the random sender gather with a contiguous
       broadcast (keeps all FLOPs/bytes except the index randomness).
+    * ``serialize_halo`` — (graph-parallel; numerics UNCHANGED) barrier
+      the halo ``all_to_all`` against the local-term compute so nothing
+      overlaps the collective — the A/B control for measuring
+      comm/compute overlap on real multi-chip meshes.
     """
     return os.environ.get("GRAPHS4CFD_ABLATE", "")
 

@@ -104,6 +104,12 @@ def _halo_gather(vs_local, sender_halo, window_plan):
     ex, lidx = sender_halo[0], sender_halo[1]
     table_mode = len(sender_halo) > 2 and sender_halo[2]
     tab = ex(vs_local)
+    from ..config import ablation
+    if ablation() == "serialize_halo":
+        # forced-sequential control: every consumer of vs_local now also
+        # depends on the completed collective, so the scheduler cannot run
+        # the local term under the all_to_all.  Numerics unchanged.
+        vs_local, tab = jax.lax.optimization_barrier((vs_local, tab))
     if window_plan is not None:
         from ..ops import pallas_gather as pg
         window, block_rows = int(window_plan[4]), int(window_plan[5])

@@ -116,6 +116,23 @@ def test_graph_parallel_halo_and_allgather_paths_agree():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_serialize_halo_ablation_numerics_unchanged(monkeypatch):
+    """GRAPHS4CFD_ABLATE=serialize_halo (the forced-sequential overlap
+    control in bench_scaling) must not change the partitioned forward —
+    the barrier only constrains scheduling."""
+    model = g4c.nn.MuSGNN(arch=mus_arch(5, 1), seed=2)
+    batch = collate(_samples(3, [430]), node_bucket=64, edge_bucket=128)
+    sharded, _ = partition_graph(batch, 8)
+    mesh = make_mesh(num_data=1, num_graph=8)
+    ref = np.asarray(make_gp_forward(model, mesh)(
+        model.params, sharded.to_device()))
+    monkeypatch.setenv("GRAPHS4CFD_ABLATE", "serialize_halo")
+    out = np.asarray(make_gp_forward(model, mesh)(
+        model.params, sharded.to_device()))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_graph_parallel_train_step_matches_single_device():
     """One gp train step == one single-device train step (params close)."""
     from graphs4cfd_tpu.parallel import make_gp_train_step
