@@ -1,0 +1,259 @@
+"""NS-family end-to-end capability demonstration: train an NsMuSGNN on an
+analytic incompressible-flow problem and measure long-horizon rollout
+accuracy (VERDICT r2 missing #4).
+
+The dataset is an exact Navier–Stokes solution: a decaying Taylor–Green
+vortex in a uniformly translating frame (Galilean boost — still an exact
+solution) on the unit torus:
+
+    u(x,y,t) = a + U0 sin(2πX) cos(2πY) e^{-t/τ}
+    v(x,y,t) = b − U0 cos(2πX) sin(2πY) e^{-t/τ}
+    p(x,y,t) = (U0²/4)(cos(4πX) + cos(4πY)) e^{-2t/τ}
+    X = x − a·t − x0,  Y = y − b·t − y0,  τ = 1/(8π²ν)
+
+so the (u, v, p) rollout is scored against ground truth with no solver
+noise.  The training pipeline is the full NsCircle uvp recipe
+(``/root/reference/examples/training/NsMuSGNN/NsThreeScaleGNN.py``):
+``ConnectKNN`` → ``ScaleNs`` (min-max u/v/p + Re) → ``ScaleEdgeAttr`` →
+noise, ``glob`` = Re, ``GraphLoss(lambda_d=0.25)`` with a Dirichlet node
+subset, rollout curriculum with per-t optimiser steps.
+
+Usage: python tools/train_taylor_green.py [--epochs N] [--cpu]
+Writes metrics to taylor_green_results.json.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TWO_PI = 2.0 * np.pi
+
+
+def tg_fields(pos, t, prm):
+    """Analytic (u, v, p) of the boosted Taylor–Green vortex at time t."""
+    a, b, u0, nu, x0, y0 = prm
+    tau = 1.0 / (8.0 * np.pi ** 2 * nu)
+    env = np.exp(-t / tau)
+    X = TWO_PI * (pos[:, 0:1] - a * t - x0)
+    Y = TWO_PI * (pos[:, 1:2] - b * t - y0)
+    u = a + u0 * np.sin(X) * np.cos(Y) * env
+    v = b - u0 * np.cos(X) * np.sin(Y) * env
+    p = 0.25 * u0 ** 2 * (np.cos(2 * X) + np.cos(2 * Y)) * env ** 2
+    return np.concatenate([u, v, p], axis=1).astype(np.float32)
+
+
+class TaylorGreenNs:
+    """Analytic NS dataset in the framework's Graph format (uvp layout).
+
+    Topology (k-NN edges, scaled edge_attr) is cached per sim — positions
+    are fixed; each access regenerates the analytic (u,v,p) window and
+    runs the per-sample value transforms (ScaleNs, noise) on the copy.
+    """
+
+    def __init__(self, n_sims, n_nodes, n_out, topo_transform,
+                 sample_transform, seed=0, T=120, dt=0.02):
+        self.n_sims, self.n_nodes, self.T, self.dt = n_sims, n_nodes, T, dt
+        self.n_out = n_out
+        self.topo_transform = topo_transform
+        self.sample_transform = sample_transform
+        self.rng = np.random.default_rng(seed)
+        self.sims = []
+        self._base = [None] * n_sims
+        for i in range(n_sims):
+            r = np.random.default_rng(seed * 1000 + i)
+            pos = r.random((n_nodes, 2)).astype(np.float32)
+            prm = (r.uniform(-0.2, 0.2), r.uniform(-0.2, 0.2),
+                   r.uniform(0.5, 1.0), r.uniform(0.005, 0.02),
+                   r.random(), r.random())
+            # 5% Dirichlet nodes exercise the λ_d L1 term of GraphLoss
+            omega = (r.random((n_nodes, 1)) < 0.05).astype(np.float32)
+            self.sims.append((pos, prm, omega))
+
+    def __len__(self):
+        return self.n_sims
+
+    def reynolds(self, i):
+        _, prm, _ = self.sims[i]
+        return prm[2] / prm[3]          # Re = U0 · L / ν, L = 1
+
+    def _base_graph(self, i):
+        from graphs4cfd_tpu.graph import Graph
+        if self._base[i] is None:
+            pos, prm, omega = self.sims[i]
+            g = Graph()
+            g.pos = pos
+            g.glob = np.full((self.n_nodes, 1), self.reynolds(i),
+                             np.float32)
+            g.field = tg_fields(pos, 0.0, prm)
+            g.target = g.field
+            g.omega = omega
+            g.bound = np.ones(self.n_nodes, np.uint8)
+            self._base[i] = self.topo_transform(g)
+        return self._base[i]
+
+    def graph_at(self, i, t0, n_out, transform=None):
+        pos, prm, _ = self.sims[i]
+        base = self._base_graph(i)
+        g = base.replace(
+            field=tg_fields(pos, t0 * self.dt, prm),
+            target=np.concatenate(
+                [tg_fields(pos, (t0 + 1 + j) * self.dt, prm)
+                 for j in range(n_out)], axis=1))
+        tr = self.sample_transform if transform is None else transform
+        return tr(g)
+
+    def __getitem__(self, i):
+        t0 = int(self.rng.integers(0, self.T - self.n_out - 1))
+        return self.graph_at(i, t0, self.n_out)
+
+
+# value ranges for ScaleNs min-max normalisation (|u|,|v| ≤ 0.2 + U0)
+SCALING = {"u": (-1.3, 1.3), "v": (-1.3, 1.3), "p": (-0.6, 0.6),
+           "Re": (25.0, 200.0)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=400)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--n-nodes", type=int, default=1024)
+    ap.add_argument("--width", type=int, default=64)
+    ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--nmax", type=int, default=8)
+    ap.add_argument("--sims", type=int, default=256)
+    ap.add_argument("--rollout", type=int, default=100)
+    ap.add_argument("--patience", type=int, default=20)
+    ap.add_argument("--dt", type=float, default=0.02)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--noise", type=float, default=0.0)
+    # advance the curriculum only once genuinely below the frozen-field
+    # baseline (the identity-well guard of the adv demo), as a fraction of
+    # the measured identity 1-step loss
+    ap.add_argument("--tolerance-frac", type=float, default=0.5)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--pin-fixture", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import graphs4cfd_tpu as gfd
+    from graphs4cfd_tpu.utils import Compose
+    from graphs4cfd_tpu.loader import DataLoader, collate
+    from graphs4cfd_tpu.metrics import r2, rollout_rmse
+
+    W = args.width
+    mp = ((W + 2 * W, (W, W, W), True), (W + W, (W, W, W), True))
+    arch = {
+        "edge_encoder": (2, (W, W, W), False),
+        "node_encoder": (5, (W, W, W), False),   # uvp(3) + Re + ω
+        **{f"mp1{i}": mp for i in range(1, args.depth + 1)},
+        "decoder": (W, (W, W, 3), False),
+    }
+    topo = Compose([gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
+                    gfd.transforms.ScaleEdgeAttr(0.04)])
+    scale_ns = gfd.transforms.ScaleNs(SCALING, format="uvp")
+    train_sample = Compose(
+        [scale_ns]
+        + ([gfd.transforms.AddUniformNoise(args.noise, seed=1)]
+           if args.noise > 0 else []))
+    n_out_max = args.nmax
+    train_ds = TaylorGreenNs(args.sims, args.n_nodes, n_out_max, topo,
+                             train_sample, seed=1, dt=args.dt)
+    val_ds = TaylorGreenNs(4, args.n_nodes, n_out_max, topo, scale_ns,
+                           seed=99, dt=args.dt)
+
+    # identity (frozen-field) 1-step baseline in scaled units → tolerance
+    g0 = val_ds.graph_at(0, 0, 1)
+    ident = float(np.mean((np.asarray(g0.field)
+                           - np.asarray(g0.target)) ** 2))
+    tolerance = args.tolerance_frac * ident
+    print(f"identity 1-step MSE {ident:.3e} -> tolerance {tolerance:.3e}",
+          file=sys.stderr)
+
+    cfg = gfd.nn.TrainConfig(
+        name="taylor_green", folder=".", tensor_board=None, chk_interval=10,
+        checkpoint="./taylor_green.chk" if args.resume else None,
+        training_loss=gfd.nn.GraphLoss(lambda_d=0.25),
+        validation_loss=gfd.nn.GraphLoss(lambda_d=0.25),
+        epochs=args.epochs,
+        num_steps=[n for n in (1, 2, 4, 6, 8, 10) if n <= args.nmax],
+        add_steps={"tolerance": tolerance, "loss": "training"},
+        batch_size=8, lr=args.lr, grad_clip={"epoch": 0, "limit": 1},
+        scheduler={"factor": 0.5, "patience": args.patience,
+                   "loss": "training"},
+        stopping=1e-8, mixed_precision=not args.cpu)
+    model = gfd.nn.NsOneScaleGNN(
+        arch=arch, scan_layers=True,
+        compute_dtype=jnp.bfloat16 if not args.cpu else jnp.float32)
+    print(f"params: {model.num_params}", file=sys.stderr)
+    t0 = time.time()
+    if args.eval_only:
+        model.load_model(checkpoint="./taylor_green.chk")
+        model.compute_dtype = jnp.bfloat16 if not args.cpu else jnp.float32
+    else:
+        train_loader = DataLoader(train_ds, batch_size=8, shuffle=True,
+                                  node_bucket=1024 * 8, edge_bucket=1024)
+        val_loader = DataLoader(val_ds, batch_size=4, node_bucket=1024 * 8,
+                                edge_bucket=1024)
+        model.fit(cfg, train_loader, val_loader)
+    train_time = time.time() - t0
+
+    # ---- long-horizon rollout vs analytic truth (scaled space) ------------
+    n_roll = args.rollout
+    results = {"train_time_s": round(train_time, 1),
+               "rollout_steps": n_roll}
+    rmses = []
+    for sim in range(4):
+        g = val_ds.graph_at(sim, 0, n_roll)
+        batch = collate([g], node_bucket=64, edge_bucket=128).to_device()
+        pred = np.asarray(model.solve(batch, n_out=n_roll))
+        target = np.asarray(batch.target)
+        mask = np.asarray(batch.node_mask)
+        rmses.append(rollout_rmse(pred, target, node_mask=mask))
+        if sim == 0:
+            nrmse = rmses[0] / float(target[mask].std())
+            results.update({
+                "rollout_rmse": round(rmses[0], 5),
+                "rollout_nrmse": round(nrmse, 4),
+            })
+            nf = 3
+            for s in (1, 10, 50, 100):
+                if n_roll >= s:
+                    sl = slice((s - 1) * nf, s * nf)
+                    results[f"r2_step{s}"] = round(
+                        r2(pred[mask, sl], target[mask, sl]), 4)
+    results["rollout_rmse_mean4"] = round(float(np.mean(rmses)), 5)
+    print(json.dumps(results))
+    with open("taylor_green_results.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+    if args.pin_fixture:
+        import shutil
+        fixdir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests", "fixtures")
+        os.makedirs(fixdir, exist_ok=True)
+        shutil.copy("./taylor_green.chk",
+                    os.path.join(fixdir, "taylor_green_model.chk"))
+        pins = {
+            "n_nodes": args.n_nodes, "dt": args.dt,
+            "model_cls": "NsOneScaleGNN",
+            "r2_step50_min": round(results.get("r2_step50", 0.0) - 0.1, 4),
+            "r2_step100_min": round(results.get("r2_step100", 0.0) - 0.1,
+                                    4),
+            "rollout_rmse_max": round(results["rollout_rmse"] * 1.3, 5),
+        }
+        with open(os.path.join(fixdir, "taylor_green_pins.json"),
+                  "w") as f:
+            json.dump(pins, f, indent=1)
+        print("pinned fixture:", pins)
+
+
+if __name__ == "__main__":
+    main()
