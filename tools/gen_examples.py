@@ -504,6 +504,10 @@ single-device).  TrainConfig drives the mesh directly:
                        mesh, edge-partitioned with halo all_to_all
                        exchange per MP layer (scales |V|, |E| past one
                        chip's memory).
+* both together        DP x GP over a 2-axis mesh (batch groups on
+                       ``data`` x edge partition on ``graph``), loss
+                       psum'd over both axes — the pod topology where DP
+                       rides DCN and halo exchange stays on ICI.
 
 Run on a pod slice after ``gfd.parallel.initialize_distributed()``; for a
 smoke test on CPU:
@@ -539,6 +543,7 @@ train_config = gfd.nn.TrainConfig(
     mixed_precision = True,
     devices         = 8,      # DP over 8 chips; batch_size % devices == 0
     # graph_devices = 8,      # alternative: partition ONE giant mesh
+    # devices=2, graph_devices=4,   # or compose both on a 2x4 mesh
 )
 
 path = "<Path to dataset NsCircle.h5>"  # https://doi.org/10.5281/zenodo.7870707
