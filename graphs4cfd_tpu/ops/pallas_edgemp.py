@@ -101,8 +101,52 @@ def _fwd_math_folded(a, vsg, e, k, aw, ab, aln, ew, eb, eln, save=False,
             n_xhat, n_rstd)
 
 
+def _ring_dma(tab_hbm, win, sem, starts_ref, b, start, window, stride):
+    """Ring-buffer window maintenance: block 0 loads the full window; each
+    later block DMAs only the ``stride`` NEW table rows into the slot their
+    expired predecessors occupied (physical row of table row t is
+    ``(t - starts[0]) % window`` — valid because rolling starts move by
+    exactly 0 or ``stride`` per block).  Replaces the full window DMA whose
+    re-read traffic is ``window/stride``× the table size per layer (16× at
+    the folded default 1024/64 — the dominant HBM stream of the REMuS L1
+    chain).  Returns (rot, wait_fn)."""
+    s0 = starts_ref[0]
+    prev = pl.multiple_of(starts_ref[jnp.maximum(b - 1, 0)], 8)
+    shift = start - prev
+    rot = jax.lax.rem(start - s0, window)
+    full = pltpu.make_async_copy(tab_hbm.at[pl.ds(start, window), :],
+                                 win, sem)
+    num_rows = tab_hbm.shape[0]
+    # when shift > 0: prev + window <= num_rows - stride (starts <= hi);
+    # the min is a no-op then and only guards the never-started case
+    src = jnp.minimum(prev + window, num_rows - stride)
+    phys = pl.multiple_of(jax.lax.rem(prev - s0 + window, window), 8)
+    chunk = pltpu.make_async_copy(tab_hbm.at[pl.ds(src, stride), :],
+                                  win.at[pl.ds(phys, stride), :], sem)
+
+    @pl.when(b == 0)
+    def _start_full():
+        full.start()
+
+    @pl.when((b > 0) & (shift > 0))
+    def _start_chunk():
+        chunk.start()
+
+    def wait():
+        @pl.when(b == 0)
+        def _wait_full():
+            full.wait()
+
+        @pl.when((b > 0) & (shift > 0))
+        def _wait_chunk():
+            chunk.wait()
+
+    return rot, wait
+
+
 def _make_fwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, out_dtype,
-                          out_selu, window, block_rows):
+                          out_selu, window, block_rows, stride=0,
+                          ring=False):
     def kernel(*refs):
         starts_ref = refs[0]
         a_ref, e_ref, lidx_ref, xlp_ref, xval_ref, tab_hbm = refs[1:7]
@@ -111,14 +155,20 @@ def _make_fwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, out_dtype,
         win, sem = refs[-2], refs[-1]
         b = pl.program_id(0)
         start = pl.multiple_of(starts_ref[b], 8)
-        dma = pltpu.make_async_copy(tab_hbm.at[pl.ds(start, window), :],
-                                    win, sem)
-        dma.start()
+        if ring:
+            rot, wait = _ring_dma(tab_hbm, win, sem, starts_ref, b, start,
+                                  window, stride)
+        else:
+            rot = None
+            dma = pltpu.make_async_copy(tab_hbm.at[pl.ds(start, window), :],
+                                        win, sem)
+            dma.start()
+            wait = dma.wait
         aw, ab, aln, ew, eb, eln = _split(flat, n_a, n_e, has_aln, has_eln)
-        dma.wait()
+        wait()
         vsg, _, _ = _wg_gather_block(lidx_ref[:], xlp_ref[0], xval_ref[0],
                                      win[:], block_rows, window,
-                                     a_ref.dtype)
+                                     a_ref.dtype, rot=rot)
         a_fold, e_new = _fwd_math_folded(a_ref[:], vsg.astype(a_ref.dtype),
                                          e_ref[:], k, aw, ab, aln,
                                          ew, eb, eln, out_selu=out_selu)
@@ -128,7 +178,8 @@ def _make_fwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, out_dtype,
 
 
 def _make_bwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, in_dtype,
-                          out_selu, window, block_rows, stride=0):
+                          out_selu, window, block_rows, stride=0,
+                          ring=False):
     n_params = 2 * n_a + 2 * n_e + (2 if has_aln else 0) \
         + (2 if has_eln else 0)
     rolling = stride > 0
@@ -156,17 +207,34 @@ def _make_bwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, in_dtype,
 
         b = pl.program_id(0)
         start = pl.multiple_of(starts_ref[b], 8)
-        dma = pltpu.make_async_copy(tab_hbm.at[pl.ds(start, window), :],
-                                    win, sem)
-        dma.start()
+        if ring:
+            rot, wait = _ring_dma(tab_hbm, win, sem, starts_ref, b, start,
+                                  window, stride)
+        else:
+            rot = None
+            dma = pltpu.make_async_copy(tab_hbm.at[pl.ds(start, window), :],
+                                        win, sem)
+            dma.start()
+            wait = dma.wait
 
         if rolling:
             prev = pl.multiple_of(starts_ref[jnp.maximum(b - 1, 0)], 8)
             shift = start - prev
             acc = win2
-            flush = pltpu.make_async_copy(
-                acc.at[pl.ds(0, stride), :],
-                dtab_hbm.at[pl.ds(prev, stride), :], sem2)
+            if ring:
+                # acc rows are in ring (physical) coordinates too — the
+                # slot of the expiring table rows [prev, prev+stride) is
+                # complete once the window moves past them
+                s0 = starts_ref[0]
+                phys_prev = pl.multiple_of(
+                    jax.lax.rem(prev - s0 + window, window), 8)
+                flush = pltpu.make_async_copy(
+                    acc.at[pl.ds(phys_prev, stride), :],
+                    dtab_hbm.at[pl.ds(prev, stride), :], sem2)
+            else:
+                flush = pltpu.make_async_copy(
+                    acc.at[pl.ds(0, stride), :],
+                    dtab_hbm.at[pl.ds(prev, stride), :], sem2)
 
             @pl.when(shift > 0)
             def _flush_start():
@@ -187,10 +255,10 @@ def _make_bwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, in_dtype,
                 win2[:] = jnp.zeros_like(win2)
 
         a, e = a_ref[:], e_ref[:]
-        dma.wait()
+        wait()
         vsg_f32, oh, ohx = _wg_gather_block(
             lidx_ref[:], xlp_ref[0], xval_ref[0], win[:],
-            block_rows, window, a.dtype)
+            block_rows, window, a.dtype, rot=rot)
         vsg = vsg_f32.astype(a.dtype)
         (outs, e_new, h1s, pres, xhats, rstds, aggr, hn, n_pre,
          n_xhat, n_rstd) = _fwd_math_folded(
@@ -266,7 +334,31 @@ def _make_bwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, in_dtype,
                                preferred_element_type=jnp.float32).astype(
                                    dxval_ref.dtype)
         upd = jnp.dot(oh.T, dh1_fold, preferred_element_type=jnp.float32)
-        if rolling:
+        if rolling and ring:
+            # oh is already in ring coordinates, so upd accumulates into
+            # the matching acc slots; on shift, the expired slot has been
+            # flushed — zero it for its new table rows (no window-wide
+            # VMEM slide)
+            @pl.when(shift > 0)
+            def _recycle():
+                flush.wait()
+                acc[pl.ds(phys_prev, stride), :] = jnp.zeros(
+                    (stride, acc.shape[1]), acc.dtype)
+            acc[:] += upd
+
+            @pl.when(step == nsteps - 1)
+            def _flush_tail_ring():
+                # final window rows live at physical slot p → table row
+                # start + ((p·stride − rot) mod window); one DMA per slot
+                for p in range(window // stride):
+                    dst = start + jax.lax.rem(
+                        p * stride - rot + window, window)
+                    fin = pltpu.make_async_copy(
+                        acc.at[pl.ds(p * stride, stride), :],
+                        dtab_hbm.at[pl.ds(dst, stride), :], sem2)
+                    fin.start()
+                    fin.wait()
+        elif rolling:
             @pl.when(shift > 0)
             def _slide():
                 flush.wait()
@@ -313,21 +405,21 @@ def _fold_specs(a, e, lidx, xlp, xval, block):
     ]
 
 
-_FOLD_STATICS = (8, 9, 10, 11, 12, 13, 14, 15, 16, 17)
+_FOLD_STATICS = (8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=_FOLD_STATICS)
 def _edgemp_fold(a, tab, e, xval, flat_params, lidx, starts, xlp,
                  n_a, n_e, has_aln, has_eln, k, block, interpret, out_selu,
-                 window, stride):
+                 window, stride, ring):
     return _edgemp_fold_fwd_impl(a, tab, e, xval, flat_params, lidx, starts,
                                  xlp, n_a, n_e, has_aln, has_eln, k, block,
-                                 interpret, out_selu, window)
+                                 interpret, out_selu, window, stride, ring)
 
 
 def _edgemp_fold_fwd_impl(a, tab, e, xval, flat_params, lidx, starts, xlp,
                           n_a, n_e, has_aln, has_eln, k, block, interpret,
-                          out_selu, window):
+                          out_selu, window, stride=0, ring=False):
     E = a.shape[0]
     grid = (E // block,)
     kH = tab.shape[-1]
@@ -338,7 +430,7 @@ def _edgemp_fold_fwd_impl(a, tab, e, xval, flat_params, lidx, starts, xlp,
         in_specs.append(pl.BlockSpec(p.shape, inv2,
                                      memory_space=pltpu.VMEM))
     kernel = _make_fwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, a.dtype,
-                                   out_selu, window, block)
+                                   out_selu, window, block, stride, ring)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
         out_specs=(pl.BlockSpec((block, kH), lambda b, s: (b, 0),
@@ -361,15 +453,15 @@ def _edgemp_fold_fwd_impl(a, tab, e, xval, flat_params, lidx, starts, xlp,
 
 def _edgemp_fold_vjp_fwd(a, tab, e, xval, flat_params, lidx, starts, xlp,
                          n_a, n_e, has_aln, has_eln, k, block, interpret,
-                         out_selu, window, stride):
+                         out_selu, window, stride, ring):
     out = _edgemp_fold_fwd_impl(a, tab, e, xval, flat_params, lidx, starts,
                                 xlp, n_a, n_e, has_aln, has_eln, k, block,
-                                interpret, out_selu, window)
+                                interpret, out_selu, window, stride, ring)
     return out, (a, tab, e, xval, flat_params, lidx, starts, xlp)
 
 
 def _edgemp_fold_vjp_bwd(n_a, n_e, has_aln, has_eln, k, block, interpret,
-                         out_selu, window, stride, res, g):
+                         out_selu, window, stride, ring, res, g):
     a, tab, e, xval, flat_params, lidx, starts, xlp = res
     ga, ge = g
     rolling = stride > 0
@@ -411,7 +503,7 @@ def _edgemp_fold_vjp_bwd(n_a, n_e, has_aln, has_eln, k, block, interpret,
                pltpu.SemaphoreType.DMA(())]
     scratch += [pltpu.VMEM(p.shape, jnp.float32) for p in flat_params]
     kernel = _make_bwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, a.dtype,
-                                   out_selu, window, block, stride)
+                                   out_selu, window, block, stride, ring)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
         out_specs=tuple(out_specs), scratch_shapes=scratch)
@@ -506,9 +598,16 @@ def edge_mp_folded(angle_mlp: dict, edge_mlp: dict, a, tab, e, k: int,
                     mode="clip").reshape(nblocks, X, tab.shape[-1])
     xlp3 = exc_lpos.reshape(nblocks, 1, X)
     a_fold = a.reshape(E, k * fa).astype(act)
+    # ring-buffer window maintenance (stride-new rows per block instead of
+    # the full-window re-DMA); requires the rolling-start invariant
+    import os
+    ring = (stride > 0 and window % stride == 0
+            and os.environ.get("GRAPHS4CFD_FOLD_RING", "0")
+            not in ("0", "false"))
     a_new, e_new = _edgemp_fold(a_fold, tab, e.astype(act), xval, flat,
                                 lidx, starts, xlp3,
                                 len(aw), len(ew), bool(aln), bool(eln), k,
                                 block, interpret,
-                                out_activation == "selu", window, stride)
+                                out_activation == "selu", window, stride,
+                                ring)
     return e_new, a_new.reshape(E, k, -1)

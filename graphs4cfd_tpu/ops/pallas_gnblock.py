@@ -401,10 +401,24 @@ def gn_block_fused(edge_mlp: dict, node_mlp: dict, e, vsg, v, k: int, *,
 # ~11 ms/step at the MuS-GNN headline workload (BASELINE.md ledger).
 # Plan arrays come from ``ops.window_plan`` via ``loader.collate``.
 
-def _wg_gather_block(lidx, xlp, xval, win, block_rows, window, dtype):
+def _wg_gather_block(lidx, xlp, xval, win, block_rows, window, dtype,
+                     rot=None):
     """In-VMEM windowed gather for one edge block: one-hot MXU matmul over
-    the DMA'd table window plus the per-block exception overlay."""
-    oh = _wg_onehot(lidx, block_rows, window, dtype)
+    the DMA'd table window plus the per-block exception overlay.
+
+    ``rot`` (scalar) selects ring-buffer window layout: physical row of
+    window-relative index i is ``(i + rot) % window`` (the folded-kernel
+    ring mode keeps the VMEM window as a circular buffer and DMAs only the
+    stride-new rows per block)."""
+    if rot is not None:
+        lp = lidx + rot
+        lp = jnp.where(lp >= window, lp - window, lp)
+        # miss sentinel (lidx == window) must stay out of range after the
+        # wrap, not alias physical row ``rot``
+        lp = jnp.where(lidx < window, lp, window)
+        oh = _wg_onehot(lp, block_rows, window, dtype)
+    else:
+        oh = _wg_onehot(lidx, block_rows, window, dtype)
     vsg = jnp.dot(oh, win.astype(dtype), preferred_element_type=jnp.float32)
     X = xlp.shape[-1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (block_rows, X), 0)

@@ -31,10 +31,14 @@ def _make_case(rng, V=64, k=5, H=128, stride=0):
             jnp.asarray(angle_src), params, plan)
 
 
-@pytest.mark.parametrize("out_act,stride", [
-    (None, 0), ("selu", 0), ("selu", 8),
+@pytest.mark.parametrize("out_act,stride,ring", [
+    (None, 0, False), ("selu", 0, False), ("selu", 8, False),
+    # ring-buffer window maintenance (rolling plans only)
+    ("selu", 8, True), (None, 8, True),
 ])
-def test_folded_edgemp_matches_xla(rng, out_act, stride):
+def test_folded_edgemp_matches_xla(rng, out_act, stride, ring,
+                                   monkeypatch):
+    monkeypatch.setenv("GRAPHS4CFD_FOLD_RING", "1" if ring else "0")
     V, k, H = 64, 5, 128
     a, e, senders, angle_src, params, plan = _make_case(
         rng, V=V, k=k, H=H, stride=stride)
