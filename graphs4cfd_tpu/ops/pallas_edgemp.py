@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_mlp import _selu, _dselu, _chain_forward, _apply_ln
 from .pallas_gnblock import (_split, _ln_backward, _chain_backward,
-                             _wg_gather_block)
+                             _wg_gather_block, _ring_dma)
 
 
 def _fwd_math_folded(a, vsg, e, k, aw, ab, aln, ew, eb, eln, save=False,
@@ -99,49 +99,6 @@ def _fwd_math_folded(a, vsg, e, k, aw, ab, aln, ew, eb, eln, save=False,
         return jnp.concatenate(outs, axis=-1), e_new
     return (outs, e_new, h1s, pres, xhats, rstds, aggr, hn, n_pre,
             n_xhat, n_rstd)
-
-
-def _ring_dma(tab_hbm, win, sem, starts_ref, b, start, window, stride):
-    """Ring-buffer window maintenance: block 0 loads the full window; each
-    later block DMAs only the ``stride`` NEW table rows into the slot their
-    expired predecessors occupied (physical row of table row t is
-    ``(t - starts[0]) % window`` — valid because rolling starts move by
-    exactly 0 or ``stride`` per block).  Replaces the full window DMA whose
-    re-read traffic is ``window/stride``× the table size per layer (16× at
-    the folded default 1024/64 — the dominant HBM stream of the REMuS L1
-    chain).  Returns (rot, wait_fn)."""
-    s0 = starts_ref[0]
-    prev = pl.multiple_of(starts_ref[jnp.maximum(b - 1, 0)], 8)
-    shift = start - prev
-    rot = jax.lax.rem(start - s0, window)
-    full = pltpu.make_async_copy(tab_hbm.at[pl.ds(start, window), :],
-                                 win, sem)
-    num_rows = tab_hbm.shape[0]
-    # when shift > 0: prev + window <= num_rows - stride (starts <= hi);
-    # the min is a no-op then and only guards the never-started case
-    src = jnp.minimum(prev + window, num_rows - stride)
-    phys = pl.multiple_of(jax.lax.rem(prev - s0 + window, window), 8)
-    chunk = pltpu.make_async_copy(tab_hbm.at[pl.ds(src, stride), :],
-                                  win.at[pl.ds(phys, stride), :], sem)
-
-    @pl.when(b == 0)
-    def _start_full():
-        full.start()
-
-    @pl.when((b > 0) & (shift > 0))
-    def _start_chunk():
-        chunk.start()
-
-    def wait():
-        @pl.when(b == 0)
-        def _wait_full():
-            full.wait()
-
-        @pl.when((b > 0) & (shift > 0))
-        def _wait_chunk():
-            chunk.wait()
-
-    return rot, wait
 
 
 def _make_fwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, out_dtype,

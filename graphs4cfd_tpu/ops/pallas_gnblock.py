@@ -433,8 +433,50 @@ def _wg_onehot(lidx, rows, window, dtype):
     return (lidx == iota).astype(dtype)
 
 
+def _ring_dma(tab_hbm, win, sem, starts_ref, b, start, window, stride):
+    """Ring-buffer window maintenance: block 0 loads the full window; each
+    later block DMAs only the ``stride`` NEW table rows into the slot their
+    expired predecessors occupied (physical row of table row t is
+    ``(t - starts[0]) % window`` — valid because rolling starts move by
+    exactly 0 or ``stride`` per block).  Replaces the full window DMA whose
+    re-read traffic is ``window/stride``× the table size per layer.
+    Returns (rot, wait_fn)."""
+    s0 = starts_ref[0]
+    prev = pl.multiple_of(starts_ref[jnp.maximum(b - 1, 0)], 8)
+    shift = start - prev
+    rot = jax.lax.rem(start - s0, window)
+    full = pltpu.make_async_copy(tab_hbm.at[pl.ds(start, window), :],
+                                 win, sem)
+    num_rows = tab_hbm.shape[0]
+    # when shift > 0: prev + window <= num_rows - stride (starts <= hi);
+    # the min is a no-op then and only guards the never-started case
+    src = jnp.minimum(prev + window, num_rows - stride)
+    phys = pl.multiple_of(jax.lax.rem(prev - s0 + window, window), 8)
+    chunk = pltpu.make_async_copy(tab_hbm.at[pl.ds(src, stride), :],
+                                  win.at[pl.ds(phys, stride), :], sem)
+
+    @pl.when(b == 0)
+    def _start_full():
+        full.start()
+
+    @pl.when((b > 0) & (shift > 0))
+    def _start_chunk():
+        chunk.start()
+
+    def wait():
+        @pl.when(b == 0)
+        def _wait_full():
+            full.wait()
+
+        @pl.when((b > 0) & (shift > 0))
+        def _wait_chunk():
+            chunk.wait()
+
+    return rot, wait
+
+
 def _make_fwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, out_dtype, out_selu,
-                        window, block_rows):
+                        window, block_rows, stride=0, ring=False):
     def kernel(*refs):
         starts_ref = refs[0]
         e_ref, v_ref, lidx_ref, xlp_ref, xval_ref, vs_hbm = refs[1:7]
@@ -443,14 +485,21 @@ def _make_fwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, out_dtype, out_selu,
         win, sem = refs[-2], refs[-1]
         b = pl.program_id(0)
         start = pl.multiple_of(starts_ref[b], 8)
-        dma = pltpu.make_async_copy(vs_hbm.at[pl.ds(start, window), :],
-                                    win, sem)
-        dma.start()
+        if ring:
+            rot, wait = _ring_dma(vs_hbm, win, sem, starts_ref, b, start,
+                                  window, stride)
+        else:
+            rot = None
+            dma = pltpu.make_async_copy(vs_hbm.at[pl.ds(start, window), :],
+                                        win, sem)
+            dma.start()
+            wait = dma.wait
         ew, eb, eln, nw, nb, nln = _split(flat, n_e, n_n, has_eln, has_nln)
-        dma.wait()
+        wait()
         vsg, _, _ = _wg_gather_block(lidx_ref[:], xlp_ref[0],
                                      xval_ref[0], win[:],
-                                     block_rows, window, e_ref.dtype)
+                                     block_rows, window, e_ref.dtype,
+                                     rot=rot)
         e_new, v_new = _fwd_math(e_ref[:], vsg.astype(e_ref.dtype),
                                  v_ref[:], k, ew, eb, eln, nw, nb, nln,
                                  out_selu=out_selu)
@@ -460,7 +509,7 @@ def _make_fwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, out_dtype, out_selu,
 
 
 def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
-                        window, block_rows, stride=0):
+                        window, block_rows, stride=0, ring=False):
     n_params = 2 * n_e + 2 * n_n + (2 if has_eln else 0) \
         + (2 if has_nln else 0)
     rolling = stride > 0
@@ -488,9 +537,15 @@ def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
 
         b = pl.program_id(0)
         start = pl.multiple_of(starts_ref[b], 8)
-        dma = pltpu.make_async_copy(vs_hbm.at[pl.ds(start, window), :],
-                                    win, sem)
-        dma.start()
+        if ring:
+            rot, wait = _ring_dma(vs_hbm, win, sem, starts_ref, b, start,
+                                  window, stride)
+        else:
+            rot = None
+            dma = pltpu.make_async_copy(vs_hbm.at[pl.ds(start, window), :],
+                                        win, sem)
+            dma.start()
+            wait = dma.wait
 
         if rolling:
             # monotone starts (planner: diffs in {0, stride}); rows
@@ -499,9 +554,19 @@ def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
             prev = pl.multiple_of(starts_ref[jnp.maximum(b - 1, 0)], 8)
             shift = start - prev
             acc = win2
-            flush = pltpu.make_async_copy(
-                acc.at[pl.ds(0, stride), :],
-                dvs_hbm.at[pl.ds(prev, stride), :], sem2)
+            if ring:
+                # acc rows in ring (physical) coordinates: flush the slot
+                # of the expiring rows [prev, prev+stride)
+                s0 = starts_ref[0]
+                phys_prev = pl.multiple_of(
+                    jax.lax.rem(prev - s0 + window, window), 8)
+                flush = pltpu.make_async_copy(
+                    acc.at[pl.ds(phys_prev, stride), :],
+                    dvs_hbm.at[pl.ds(prev, stride), :], sem2)
+            else:
+                flush = pltpu.make_async_copy(
+                    acc.at[pl.ds(0, stride), :],
+                    dvs_hbm.at[pl.ds(prev, stride), :], sem2)
 
             @pl.when(shift > 0)
             def _flush_start():
@@ -522,10 +587,10 @@ def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
                 win2[:] = jnp.zeros_like(win2)
 
         e, v = e_ref[:], v_ref[:]
-        dma.wait()
+        wait()
         vsg_f32, oh, ohx = _wg_gather_block(
             lidx_ref[:], xlp_ref[0], xval_ref[0], win[:],
-            block_rows, window, e.dtype)
+            block_rows, window, e.dtype, rot=rot)
         vsg = vsg_f32.astype(e.dtype)
         (e_new, v_new, h1, e_preacts, e_xhat, e_rstd, aggr, hn,
          n_preacts, n_xhat, n_rstd) = _fwd_math(
@@ -595,7 +660,30 @@ def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
                                preferred_element_type=jnp.float32).astype(
                                    dxval_ref.dtype)
         upd = jnp.dot(oh.T, dh1_c, preferred_element_type=jnp.float32)
-        if rolling:
+        if rolling and ring:
+            # oh is in ring coordinates so upd lands on the matching acc
+            # slots; the expired slot is flushed then zeroed for its new
+            # table rows (no window-wide VMEM slide)
+            @pl.when(shift > 0)
+            def _recycle():
+                flush.wait()
+                acc[pl.ds(phys_prev, stride), :] = jnp.zeros(
+                    (stride, acc.shape[1]), acc.dtype)
+            acc[:] += upd
+
+            @pl.when(step == nsteps - 1)
+            def _flush_tail_ring():
+                # final window rows live at physical slot p → table row
+                # start + ((p·stride − rot) mod window); one DMA per slot
+                for p in range(window // stride):
+                    dst = start + jax.lax.rem(
+                        p * stride - rot + window, window)
+                    fin = pltpu.make_async_copy(
+                        acc.at[pl.ds(p * stride, stride), :],
+                        dvs_hbm.at[pl.ds(dst, stride), :], sem2)
+                    fin.start()
+                    fin.wait()
+        elif rolling:
             # rolling accumulator: retire the flushed rows, slide the
             # window, add this block's contribution; each dvs row is
             # DMA-written exactly once (vs. the window-wide RMW of the
@@ -650,21 +738,21 @@ def _wg_specs(e, v, lidx, xlp, xval, k, block):
     ]
 
 
-_WG_STATICS = (8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18)
+_WG_STATICS = (8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=_WG_STATICS)
 def _gn_fused_wg(e, vs, v, xval, flat_params, lidx, starts, xlp,
                  n_e, n_n, has_eln, has_nln, k, block, interpret, out_selu,
-                 window, stride, zero_tail=False):
+                 window, stride, zero_tail=False, ring=False):
     return _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
                            n_e, n_n, has_eln, has_nln, k, block, interpret,
-                           out_selu, window)
+                           out_selu, window, stride, ring)
 
 
 def _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
                     n_e, n_n, has_eln, has_nln, k, block, interpret,
-                    out_selu, window):
+                    out_selu, window, stride=0, ring=False):
     grid = (v.shape[0] // block,)
     Eb = k * block
     H = vs.shape[-1]
@@ -674,7 +762,7 @@ def _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
         in_specs.append(pl.BlockSpec(p.shape, inv2,
                                      memory_space=pltpu.VMEM))
     kernel = _make_fwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, e.dtype,
-                                 out_selu, window, Eb)
+                                 out_selu, window, Eb, stride, ring)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
         out_specs=(pl.BlockSpec((Eb, H), lambda b, s: (b, 0),
@@ -697,15 +785,15 @@ def _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
 
 def _gn_wg_vjp_fwd(e, vs, v, xval, flat_params, lidx, starts, xlp,
                    n_e, n_n, has_eln, has_nln, k, block, interpret,
-                   out_selu, window, stride, zero_tail=False):
+                   out_selu, window, stride, zero_tail=False, ring=False):
     out = _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
                           n_e, n_n, has_eln, has_nln, k, block, interpret,
-                          out_selu, window)
+                          out_selu, window, stride, ring)
     return out, (e, vs, v, xval, flat_params, lidx, starts, xlp)
 
 
 def _gn_wg_vjp_bwd(n_e, n_n, has_eln, has_nln, k, block, interpret,
-                   out_selu, window, stride, zero_tail, res, g):
+                   out_selu, window, stride, zero_tail, ring, res, g):
     e, vs, v, xval, flat_params, lidx, starts, xlp = res
     ge, gv = g
     rolling = stride > 0
@@ -748,7 +836,7 @@ def _gn_wg_vjp_bwd(n_e, n_n, has_eln, has_nln, k, block, interpret,
                pltpu.SemaphoreType.DMA(())]
     scratch += [pltpu.VMEM(p.shape, jnp.float32) for p in flat_params]
     kernel = _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, e.dtype,
-                                 out_selu, window, Eb, stride)
+                                 out_selu, window, Eb, stride, ring)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
         out_specs=tuple(out_specs), scratch_shapes=scratch)
@@ -857,8 +945,11 @@ def gn_block_fused_wg(edge_mlp: dict, node_mlp: dict, e, vs, v, k: int,
     xval = jnp.take(vs, exc_nidx.reshape(-1), axis=0,
                     mode="clip").reshape(nblocks, X, vs.shape[-1])
     xlp3 = exc_lpos.reshape(nblocks, 1, X)
+    ring = (stride > 0 and window % stride == 0
+            and os.environ.get("GRAPHS4CFD_WG_RING", "0")
+            not in ("0", "false"))
     return _gn_fused_wg(e.astype(act), vs, v.astype(act), xval, flat,
                         lidx, starts, xlp3,
                         len(ew), len(nw), bool(eln), bool(nln), k, block,
                         interpret, out_activation == "selu", window,
-                        stride, zero_tail)
+                        stride, zero_tail, ring)

@@ -361,16 +361,19 @@ def test_blocked_exceptions_consistent(rng):
     assert sorted(from_blocked) == expect
 
 
-@pytest.mark.parametrize("stride", [0, 128])
-def test_gn_block_fused_wg_matches(rng, stride):
+@pytest.mark.parametrize("stride,ring", [(0, False), (128, False),
+                                         (128, True)])
+def test_gn_block_fused_wg_matches(rng, stride, ring, monkeypatch):
     """Mode-B (in-kernel windowed gather) gn_block must match the plain
     path, values and gradients, including exception rows (interpret).
-    ``stride=128`` exercises the rolling-accumulator backward."""
+    ``stride=128`` exercises the rolling-accumulator backward; ``ring``
+    the ring-buffer window maintenance."""
     from graphs4cfd_tpu.nn import blocks
     from graphs4cfd_tpu.nn.mlp import init_mlp
     from graphs4cfd_tpu.ops import pallas_gnblock as pg
     from graphs4cfd_tpu import config as g4c_config
 
+    monkeypatch.setenv("GRAPHS4CFD_WG_RING", "1" if ring else "0")
     V, k, H = 512, 4, 128
     _, idx, plan = _mk(rng, N=V, M=V * k, H=H, block_rows=k * 128,
                        window=256, spread=60, stride=stride)
