@@ -308,8 +308,9 @@ def _make_bwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, in_dtype,
                 # final window rows live at physical slot p → table row
                 # start + ((p·stride − rot) mod window); one DMA per slot
                 for p in range(window // stride):
-                    dst = start + jax.lax.rem(
-                        p * stride - rot + window, window)
+                    dst = pl.multiple_of(
+                        start + jax.lax.rem(p * stride - rot + window,
+                                            window), 8)
                     fin = pltpu.make_async_copy(
                         acc.at[pl.ds(p * stride, stride), :],
                         dtab_hbm.at[pl.ds(dst, stride), :], sem2)

@@ -450,7 +450,11 @@ def _ring_dma(tab_hbm, win, sem, starts_ref, b, start, window, stride):
     num_rows = tab_hbm.shape[0]
     # when shift > 0: prev + window <= num_rows - stride (starts <= hi);
     # the min is a no-op then and only guards the never-started case
-    src = jnp.minimum(prev + window, num_rows - stride)
+    # re-assert sublane alignment: jnp.minimum drops the multiple_of
+    # annotation and real Mosaic (unlike interpret mode) must PROVE the
+    # DMA start is tile-aligned; both operands are multiples of 8 (prev is
+    # annotated, window/stride/num_rows come from the 8-aligned planner)
+    src = pl.multiple_of(jnp.minimum(prev + window, num_rows - stride), 8)
     phys = pl.multiple_of(jax.lax.rem(prev - s0 + window, window), 8)
     chunk = pltpu.make_async_copy(tab_hbm.at[pl.ds(src, stride), :],
                                   win.at[pl.ds(phys, stride), :], sem)
@@ -676,8 +680,9 @@ def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
                 # final window rows live at physical slot p → table row
                 # start + ((p·stride − rot) mod window); one DMA per slot
                 for p in range(window // stride):
-                    dst = start + jax.lax.rem(
-                        p * stride - rot + window, window)
+                    dst = pl.multiple_of(
+                        start + jax.lax.rem(p * stride - rot + window,
+                                            window), 8)
                     fin = pltpu.make_async_copy(
                         acc.at[pl.ds(p * stride, stride), :],
                         dvs_hbm.at[pl.ds(dst, stride), :], sem2)

@@ -126,6 +126,15 @@ def main():
                     help="legacy 2-scale AdvTwoScaleGNN demo arch")
     ap.add_argument("--resume", action="store_true",
                     help="resume from ./synthadv.chk if present")
+    ap.add_argument("--init-from", type=str, default=None,
+                    help="warm-start WEIGHTS from this checkpoint but train "
+                         "with a fresh optimiser/scheduler at --lr (for "
+                         "noise/horizon fine-tuning a converged model whose "
+                         "plateau lr has decayed to the floor)")
+    ap.add_argument("--eval-f32", action="store_true",
+                    help="run the rollout evaluation in f32 compute "
+                         "(training stays bf16); 100-step autoregressive "
+                         "rollouts accumulate bf16 rounding")
     ap.add_argument("--eval-only", action="store_true",
                     help="skip training; evaluate ./synthadv.chk")
     ap.add_argument("--pin-fixture", action="store_true",
@@ -195,12 +204,18 @@ def main():
         model.load_model(checkpoint="./synthadv.chk")
         model.compute_dtype = jnp.bfloat16 if not args.cpu else jnp.float32
     else:
+        if args.init_from:
+            model.load_model(checkpoint=args.init_from)
+            print(f"warm-started weights from {args.init_from}",
+                  file=sys.stderr)
         train_loader = DataLoader(train_ds, batch_size=8, shuffle=True,
                                   node_bucket=1024 * 8, edge_bucket=1024)
         val_loader = DataLoader(val_ds, batch_size=4, node_bucket=1024 * 8,
                                 edge_bucket=1024)
         model.fit(cfg, train_loader, val_loader)
     train_time = time.time() - t0
+    if args.eval_f32:
+        model.compute_dtype = jnp.float32
 
     # ---- long-horizon rollout vs analytic truth ---------------------------
     n_roll = args.rollout
