@@ -559,8 +559,10 @@ def edge_mp_folded(angle_mlp: dict, edge_mlp: dict, a, tab, e, k: int,
     # ring-buffer window maintenance (stride-new rows per block instead of
     # the full-window re-DMA); requires the rolling-start invariant
     import os
+    # default ON: measured 84.2 -> 81.6 ms on the REMuS 3-scale step (the
+    # folded window re-DMA is window/stride = 16x the table per layer)
     ring = (stride > 0 and window % stride == 0
-            and os.environ.get("GRAPHS4CFD_FOLD_RING", "0")
+            and os.environ.get("GRAPHS4CFD_FOLD_RING", "1")
             not in ("0", "false"))
     a_new, e_new = _edgemp_fold(a_fold, tab, e.astype(act), xval, flat,
                                 lidx, starts, xlp3,

@@ -131,6 +131,12 @@ def main():
                          "with a fresh optimiser/scheduler at --lr (for "
                          "noise/horizon fine-tuning a converged model whose "
                          "plateau lr has decayed to the floor)")
+    ap.add_argument("--stages", type=str, default=None,
+                    help="comma-separated curriculum num_steps override "
+                         "(e.g. '10' to train at the top horizon only — "
+                         "each stage is a separately compiled program and "
+                         "remote compiles are minutes each; a warm-started "
+                         "model does not need the early stages)")
     ap.add_argument("--eval-f32", action="store_true",
                     help="run the rollout evaluation in f32 compute "
                          "(training stays bf16); 100-step autoregressive "
@@ -188,7 +194,8 @@ def main():
         checkpoint="./synthadv.chk" if args.resume else None,
         training_loss=gfd.nn.GraphLoss(), validation_loss=gfd.nn.GraphLoss(),
         epochs=args.epochs,
-        num_steps=[n for n in (1, 2, 4, 6, 8, 10) if n <= args.nmax],
+        num_steps=([int(s) for s in args.stages.split(",")] if args.stages
+                   else [n for n in (1, 2, 4, 6, 8, 10) if n <= args.nmax]),
         add_steps={"tolerance": args.tolerance, "loss": "training"},
         batch_size=8, lr=args.lr, grad_clip={"epoch": 0, "limit": 1},
         scheduler={"factor": 0.5, "patience": args.patience,
