@@ -136,6 +136,15 @@ def main():
     # the measured identity 1-step loss
     ap.add_argument("--tolerance-frac", type=float, default=0.5)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--init-from", type=str, default=None,
+                    help="warm-start weights from this checkpoint with a "
+                         "fresh optimiser at --lr")
+    ap.add_argument("--stages", type=str, default=None,
+                    help="comma-separated num_steps override (each stage "
+                         "is a separately compiled program; remote compiles "
+                         "are minutes each)")
+    ap.add_argument("--eval-f32", action="store_true",
+                    help="run the rollout eval in f32 compute")
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--pin-fixture", action="store_true")
     args = ap.parse_args()
@@ -183,7 +192,8 @@ def main():
         training_loss=gfd.nn.GraphLoss(lambda_d=0.25),
         validation_loss=gfd.nn.GraphLoss(lambda_d=0.25),
         epochs=args.epochs,
-        num_steps=[n for n in (1, 2, 4, 6, 8, 10) if n <= args.nmax],
+        num_steps=([int(s) for s in args.stages.split(",")] if args.stages
+                   else [n for n in (1, 2, 4, 6, 8, 10) if n <= args.nmax]),
         add_steps={"tolerance": tolerance, "loss": "training"},
         batch_size=8, lr=args.lr, grad_clip={"epoch": 0, "limit": 1},
         scheduler={"factor": 0.5, "patience": args.patience,
@@ -198,12 +208,18 @@ def main():
         model.load_model(checkpoint="./taylor_green.chk")
         model.compute_dtype = jnp.bfloat16 if not args.cpu else jnp.float32
     else:
+        if args.init_from:
+            model.load_model(checkpoint=args.init_from)
+            print(f"warm-started weights from {args.init_from}",
+                  file=sys.stderr)
         train_loader = DataLoader(train_ds, batch_size=8, shuffle=True,
                                   node_bucket=1024 * 8, edge_bucket=1024)
         val_loader = DataLoader(val_ds, batch_size=4, node_bucket=1024 * 8,
                                 edge_bucket=1024)
         model.fit(cfg, train_loader, val_loader)
     train_time = time.time() - t0
+    if args.eval_f32:
+        model.compute_dtype = jnp.float32
 
     # ---- long-horizon rollout vs analytic truth (scaled space) ------------
     n_roll = args.rollout
