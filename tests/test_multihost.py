@@ -25,13 +25,13 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_dp_train_step():
+def _run_workers(mode, tag):
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env.pop("JAX_PLATFORMS", None)
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, coord, "2", str(pid)],
+        [sys.executable, WORKER, coord, "2", str(pid), mode],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         text=True) for pid in range(2)]
     outs = []
@@ -47,8 +47,18 @@ def test_two_process_dp_train_step():
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
     losses = []
     for out in outs:
-        m = re.search(r"MULTIHOST loss=([0-9.e+-]+) procs=2 devices=4",
-                      out)
+        m = re.search(tag + r" loss=([0-9.e+-]+) procs=2 devices=4", out)
         assert m, f"no result line in:\n{out[-4000:]}"
         losses.append(float(m.group(1)))
     assert losses[0] == losses[1], losses
+
+
+def test_two_process_dp_train_step():
+    _run_workers("dp", "MULTIHOST")
+
+
+def test_two_process_gp_train_step():
+    """The graph axis spans two OS processes: per-layer halo all_to_all
+    and the distributed-criterion psums execute over the cross-process
+    transport, not just virtual intra-process devices."""
+    _run_workers("gp", "MULTIHOST-GP")
