@@ -361,7 +361,8 @@ def edge_mp(params: dict,
             window_plan=None,
             folded_plan=None,
             out_activation: Optional[str] = None,
-            sender_halo=None
+            sender_halo=None,
+            skip_a_out: bool = False
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """REMuS MP on the line graph (``EdgeMP.forward``, ``blocks.py:322-333``).
 
@@ -437,7 +438,8 @@ def edge_mp(params: dict,
                         params["angle_mlp"], params["edge_mlp"], a, tab,
                         e, k, folded_plan, compute_dtype=cd,
                         interpret=interpret,
-                        out_activation=out_activation)
+                        out_activation=out_activation,
+                        skip_a_out=skip_a_out)
             from ..ops import pallas_gnblock as pg
             if pg.supports(params["angle_mlp"], params["edge_mlp"], E,
                            fa, fe, k):

@@ -96,7 +96,7 @@ def remus_apply(params: dict, graph: Graph, plan, num_fields: int = 2,
                                     compute_dtype=cd))
     level = 1
 
-    def run_mp_group(names, l):
+    def run_mp_group(names, l, last_visit=False):
         """Fold identical-shape consecutive EdgeMP layers into one
         lax.scan (compile-time optimisation; numerics unchanged)."""
         angle_src = graph.data[f"angle_src{_suffix(l)}"]
@@ -107,13 +107,19 @@ def remus_apply(params: dict, graph: Graph, plan, num_fields: int = 2,
         wplan = _window_plan_of(graph) if l == 1 else None
         fplan = _folded_plan_of(graph, l)
 
-        def one(p, e_l, a_l):
+        def one(p, e_l, a_l, skip_a=False):
             # inter-layer SELU fused into edge_mp (in-kernel on the fused
             # Pallas path — saves an HBM roundtrip of the [E·k, H] angles)
             return edge_mp(p, e_l, a_l, angle_src, compute_dtype=cd,
                            window_plan=wplan, folded_plan=fplan,
-                           out_activation="selu")
+                           out_activation="selu", skip_a_out=skip_a)
 
+        # The angle state of this level's FINAL group's FINAL layer has no
+        # consumer (nothing revisits the level before the decoder): the
+        # folded kernel then skips the a′ store and its zero-cotangent
+        # backward read (skip_a_out) — peel that layer out of the scan.
+        tail = names[-1] if last_visit else None
+        names = names[:-1] if last_visit else names
         trees = [params[n] for n in names]
         structs = {jax.tree_util.tree_structure(t) for t in trees}
         shapes = {tuple(x.shape for x in jax.tree_util.tree_leaves(t))
@@ -130,6 +136,8 @@ def remus_apply(params: dict, graph: Graph, plan, num_fields: int = 2,
         else:
             for t in trees:
                 e[l], a[l] = one(t, e[l], a[l])
+        if tail is not None:
+            e[l], a[l] = one(params[tail], e[l], a[l], skip_a=True)
 
     grouped = []
     for op in plan:
@@ -140,9 +148,12 @@ def remus_apply(params: dict, graph: Graph, plan, num_fields: int = 2,
             grouped.append(["mp_group", [op[1]], op[2]])
         else:
             grouped.append(op)
-    for op in grouped:
+    last_group_of_level = {op[2]: i for i, op in enumerate(grouped)
+                           if op[0] == "mp_group"}
+    for i, op in enumerate(grouped):
         if op[0] == "mp_group":
-            run_mp_group(op[1], op[2])
+            run_mp_group(op[1], op[2],
+                         last_visit=(last_group_of_level[op[2]] == i))
         elif op[0] == "down":
             _, name, tgt = op
             e[tgt] = down_edge_mp(params[name], e[tgt - 1], e[tgt], xa[tgt],

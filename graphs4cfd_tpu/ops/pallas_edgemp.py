@@ -50,13 +50,19 @@ from .pallas_gnblock import (_split, _ln_backward, _chain_backward,
 
 
 def _fwd_math_folded(a, vsg, e, k, aw, ab, aln, ew, eb, eln, save=False,
-                     out_selu=False):
+                     out_selu=False, out_a=True):
     """One block of folded EdgeMP math.
 
     ``a`` is ``[B, k·fa]`` (angle features folded along lanes), ``vsg`` is
     the gathered ``[B, k·H]`` angle-source states, ``e`` is ``[B, fe]``.
     ``aw[0]`` is ``[fa+fe, H] = [Wa; Wr]`` (the Ws rows are consumed
     outside through the table).  Saved intermediates are pre-SELU.
+
+    ``out_a=False`` (with ``save=False``) skips materialising the folded
+    ``a′`` — for layers whose angle output has no consumer (the last
+    EdgeMP of a level's final MP group), saving its [E, k·H] HBM write.
+    The aggregation still needs every lane block's post-LN value, so only
+    the concat/SELU/store is skipped, not the math.
     """
     fa = a.shape[-1] // k
     H = vsg.shape[-1] // k
@@ -74,7 +80,8 @@ def _fwd_math_folded(a, vsg, e, k, aw, ab, aln, ew, eb, eln, save=False,
             a_out, xh, rs = _apply_ln(a_pre, aln[0], aln[1])
         else:
             a_out, xh, rs = a_pre, None, None
-        outs.append(a_out)
+        if out_a or save:
+            outs.append(a_out)
         aggr = a_out if aggr is None else aggr + a_out
         if save:
             h1s.append(h1)
@@ -94,21 +101,26 @@ def _fwd_math_folded(a, vsg, e, k, aw, ab, aln, ew, eb, eln, save=False,
         e_new, n_xhat, n_rstd = e_pre, None, None
     if not save:
         if out_selu:
-            outs = [_selu(o) for o in outs]
             e_new = _selu(e_new)
-        return jnp.concatenate(outs, axis=-1), e_new
+            if out_a:
+                outs = [_selu(o) for o in outs]
+        return (jnp.concatenate(outs, axis=-1) if out_a else None), e_new
     return (outs, e_new, h1s, pres, xhats, rstds, aggr, hn, n_pre,
             n_xhat, n_rstd)
 
 
 def _make_fwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, out_dtype,
                           out_selu, window, block_rows, stride=0,
-                          ring=False):
+                          ring=False, skip_a=False):
     def kernel(*refs):
         starts_ref = refs[0]
         a_ref, e_ref, lidx_ref, xlp_ref, xval_ref, tab_hbm = refs[1:7]
-        flat = [r[:] for r in refs[7:-4]]
-        a_out, e_out = refs[-4], refs[-3]
+        if skip_a:
+            flat = [r[:] for r in refs[7:-3]]
+            a_out, e_out = None, refs[-3]
+        else:
+            flat = [r[:] for r in refs[7:-4]]
+            a_out, e_out = refs[-4], refs[-3]
         win, sem = refs[-2], refs[-1]
         b = pl.program_id(0)
         start = pl.multiple_of(starts_ref[b], 8)
@@ -128,15 +140,17 @@ def _make_fwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, out_dtype,
                                      a_ref.dtype, rot=rot)
         a_fold, e_new = _fwd_math_folded(a_ref[:], vsg.astype(a_ref.dtype),
                                          e_ref[:], k, aw, ab, aln,
-                                         ew, eb, eln, out_selu=out_selu)
-        a_out[:] = a_fold.astype(out_dtype)
+                                         ew, eb, eln, out_selu=out_selu,
+                                         out_a=not skip_a)
+        if not skip_a:
+            a_out[:] = a_fold.astype(out_dtype)
         e_out[:] = e_new.astype(out_dtype)
     return kernel
 
 
 def _make_bwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, in_dtype,
                           out_selu, window, block_rows, stride=0,
-                          ring=False):
+                          ring=False, skip_a=False):
     n_params = 2 * n_a + 2 * n_e + (2 if has_aln else 0) \
         + (2 if has_eln else 0)
     rolling = stride > 0
@@ -147,8 +161,12 @@ def _make_bwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, in_dtype,
         a_ref, e_ref, lidx_ref, xlp_ref, xval_ref, tab_hbm = \
             refs[idx:idx + 6]
         idx += 6
-        ga_ref, ge_ref = refs[idx], refs[idx + 1]
-        idx += 2
+        if skip_a:
+            ga_ref, ge_ref = None, refs[idx]
+            idx += 1
+        else:
+            ga_ref, ge_ref = refs[idx], refs[idx + 1]
+            idx += 2
         if not rolling:
             idx += 1                   # zero-initialised dtab alias input
         flat = [r[:] for r in refs[idx:idx + n_params]]
@@ -253,10 +271,15 @@ def _make_bwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, in_dtype,
         sum_dh1 = None
         da_cols, dh1_cols = [], []
         for j in range(k):
-            ga_j = ga_ref[:, j * H:(j + 1) * H].astype(jnp.float32)
-            if out_selu:
-                ga_j = ga_j * _dselu(outs[j])
-            d_out = ga_j + daggr / k
+            if skip_a:
+                # a′ has no consumer (last layer of a level's final MP
+                # group) — its cotangent is identically zero
+                d_out = daggr / k
+            else:
+                ga_j = ga_ref[:, j * H:(j + 1) * H].astype(jnp.float32)
+                if out_selu:
+                    ga_j = ga_j * _dselu(outs[j])
+                d_out = ga_j + daggr / k
             if has_aln:
                 s_aln[0][:] += (d_out * xhats[j]).sum(axis=0, keepdims=True)
                 s_aln[1][:] += d_out.sum(axis=0, keepdims=True)
@@ -363,21 +386,23 @@ def _fold_specs(a, e, lidx, xlp, xval, block):
     ]
 
 
-_FOLD_STATICS = (8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18)
+_FOLD_STATICS = (8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=_FOLD_STATICS)
 def _edgemp_fold(a, tab, e, xval, flat_params, lidx, starts, xlp,
                  n_a, n_e, has_aln, has_eln, k, block, interpret, out_selu,
-                 window, stride, ring):
+                 window, stride, ring, skip_a):
     return _edgemp_fold_fwd_impl(a, tab, e, xval, flat_params, lidx, starts,
                                  xlp, n_a, n_e, has_aln, has_eln, k, block,
-                                 interpret, out_selu, window, stride, ring)
+                                 interpret, out_selu, window, stride, ring,
+                                 skip_a)
 
 
 def _edgemp_fold_fwd_impl(a, tab, e, xval, flat_params, lidx, starts, xlp,
                           n_a, n_e, has_aln, has_eln, k, block, interpret,
-                          out_selu, window, stride=0, ring=False):
+                          out_selu, window, stride=0, ring=False,
+                          skip_a=False):
     E = a.shape[0]
     grid = (E // block,)
     kH = tab.shape[-1]
@@ -388,40 +413,49 @@ def _edgemp_fold_fwd_impl(a, tab, e, xval, flat_params, lidx, starts, xlp,
         in_specs.append(pl.BlockSpec(p.shape, inv2,
                                      memory_space=pltpu.VMEM))
     kernel = _make_fwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, a.dtype,
-                                   out_selu, window, block, stride, ring)
+                                   out_selu, window, block, stride, ring,
+                                   skip_a)
+    a_spec = pl.BlockSpec((block, kH), lambda b, s: (b, 0),
+                          memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec((block, H), lambda b, s: (b, 0),
+                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
-        out_specs=(pl.BlockSpec((block, kH), lambda b, s: (b, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((block, H), lambda b, s: (b, 0),
-                                memory_space=pltpu.VMEM)),
+        out_specs=((e_spec,) if skip_a else (a_spec, e_spec)),
         scratch_shapes=[pltpu.VMEM((window, kH), tab.dtype),
                         pltpu.SemaphoreType.DMA(())],
     )
-    a_new, e_new = pl.pallas_call(
+    a_shape = jax.ShapeDtypeStruct((E, kH), a.dtype)
+    e_shape = jax.ShapeDtypeStruct((E, H), a.dtype)
+    outs = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((E, kH), a.dtype),
-                   jax.ShapeDtypeStruct((E, H), a.dtype)),
+        out_shape=((e_shape,) if skip_a else (a_shape, e_shape)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(starts, a, e, lidx, xlp, xval, tab, *flat_params)
-    return a_new, e_new
+    if skip_a:
+        return outs[0]
+    return outs
 
 
 def _edgemp_fold_vjp_fwd(a, tab, e, xval, flat_params, lidx, starts, xlp,
                          n_a, n_e, has_aln, has_eln, k, block, interpret,
-                         out_selu, window, stride, ring):
+                         out_selu, window, stride, ring, skip_a):
     out = _edgemp_fold_fwd_impl(a, tab, e, xval, flat_params, lidx, starts,
                                 xlp, n_a, n_e, has_aln, has_eln, k, block,
-                                interpret, out_selu, window, stride, ring)
+                                interpret, out_selu, window, stride, ring,
+                                skip_a)
     return out, (a, tab, e, xval, flat_params, lidx, starts, xlp)
 
 
 def _edgemp_fold_vjp_bwd(n_a, n_e, has_aln, has_eln, k, block, interpret,
-                         out_selu, window, stride, ring, res, g):
+                         out_selu, window, stride, ring, skip_a, res, g):
     a, tab, e, xval, flat_params, lidx, starts, xlp = res
-    ga, ge = g
+    if skip_a:
+        ga, ge = None, g
+    else:
+        ga, ge = g
     rolling = stride > 0
     E = a.shape[0]
     grid = (E // block,)
@@ -429,10 +463,11 @@ def _edgemp_fold_vjp_bwd(n_a, n_e, has_aln, has_eln, k, block, interpret,
     H = kH // k
     X = xlp.shape[-1]
     in_specs = _fold_specs(a, e, lidx, xlp, xval, block)
-    ct_specs = [pl.BlockSpec((block, kH), lambda b, s: (b, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, H), lambda b, s: (b, 0),
-                             memory_space=pltpu.VMEM)]
+    ct_specs = ([] if skip_a else
+                [pl.BlockSpec((block, kH), lambda b, s: (b, 0),
+                              memory_space=pltpu.VMEM)])
+    ct_specs.append(pl.BlockSpec((block, H), lambda b, s: (b, 0),
+                                 memory_space=pltpu.VMEM))
     if not rolling:
         ct_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     in_specs = in_specs + ct_specs
@@ -461,15 +496,19 @@ def _edgemp_fold_vjp_bwd(n_a, n_e, has_aln, has_eln, k, block, interpret,
                pltpu.SemaphoreType.DMA(())]
     scratch += [pltpu.VMEM(p.shape, jnp.float32) for p in flat_params]
     kernel = _make_bwd_kernel_fold(n_a, n_e, has_aln, has_eln, k, a.dtype,
-                                   out_selu, window, block, stride, ring)
+                                   out_selu, window, block, stride, ring,
+                                   skip_a)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
         out_specs=tuple(out_specs), scratch_shapes=scratch)
-    operands = [starts, a, e, lidx, xlp, xval, tab, ga, ge]
+    operands = [starts, a, e, lidx, xlp, xval, tab]
+    if not skip_a:
+        operands.append(ga)
+    operands.append(ge)
     aliases = {}
     if not rolling:
+        aliases = {len(operands): 3}    # zeros -> dtab output
         operands.append(jnp.zeros(tab.shape, jnp.float32))
-        aliases = {9: 3}                # zeros -> dtab output
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=tuple(out_shapes),
         input_output_aliases=aliases,
@@ -514,7 +553,8 @@ def supports_folded(plan, angle_mlp: dict, edge_mlp: dict, E: int, V: int,
 def edge_mp_folded(angle_mlp: dict, edge_mlp: dict, a, tab, e, k: int,
                    plan, *, compute_dtype=jnp.float32,
                    interpret: bool = False,
-                   out_activation: str = None
+                   out_activation: str = None,
+                   skip_a_out: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run one EdgeMP layer through the folded kernel.
 
@@ -522,6 +562,11 @@ def edge_mp_folded(angle_mlp: dict, edge_mlp: dict, a, tab, e, k: int,
     table (``(e@Ws).reshape(V, k·H)``, computed by the caller so Ws's
     cotangent flows through XLA), ``e`` the ``[E, fe]`` edge states.
     Returns ``(e_new, a_new[E, k, H])``.
+
+    ``skip_a_out``: the caller asserts ``a′`` has no consumer (last layer
+    of a level's final MP group) — the kernel then skips the [E, k·H]
+    store and the backward skips its zero cotangent read; the returned
+    ``a`` is the *input* angles, to be ignored.
     """
     if out_activation not in (None, "selu"):
         raise ValueError(f"unsupported out_activation {out_activation!r}")
@@ -564,10 +609,13 @@ def edge_mp_folded(angle_mlp: dict, edge_mlp: dict, a, tab, e, k: int,
     ring = (stride > 0 and window % stride == 0
             and os.environ.get("GRAPHS4CFD_FOLD_RING", "1")
             not in ("0", "false"))
-    a_new, e_new = _edgemp_fold(a_fold, tab, e.astype(act), xval, flat,
-                                lidx, starts, xlp3,
-                                len(aw), len(ew), bool(aln), bool(eln), k,
-                                block, interpret,
-                                out_activation == "selu", window, stride,
-                                ring)
+    out = _edgemp_fold(a_fold, tab, e.astype(act), xval, flat,
+                       lidx, starts, xlp3,
+                       len(aw), len(ew), bool(aln), bool(eln), k,
+                       block, interpret,
+                       out_activation == "selu", window, stride,
+                       ring, skip_a_out)
+    if skip_a_out:
+        return out, a
+    a_new, e_new = out
     return e_new, a_new.reshape(E, k, -1)

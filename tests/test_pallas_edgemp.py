@@ -86,6 +86,56 @@ def test_folded_edgemp_matches_xla(rng, out_act, stride, ring,
                                    rtol=2e-3, atol=5e-4)
 
 
+@pytest.mark.parametrize("out_act,stride,ring", [
+    ("selu", 8, True), ("selu", 0, False),
+])
+def test_folded_edgemp_skip_a_out(rng, out_act, stride, ring, monkeypatch):
+    """skip_a_out: e′ and all input grads must equal the XLA path under a
+    zero a′ cotangent (the last layer of a level's final MP group)."""
+    monkeypatch.setenv("GRAPHS4CFD_FOLD_RING", "1" if ring else "0")
+    V, k, H = 64, 5, 128
+    a, e, senders, angle_src, params, plan = _make_case(
+        rng, V=V, k=k, H=H, stride=stride)
+
+    def ref(p, a, e):
+        return blocks.edge_mp(p, e, a, angle_src)   # XLA path (no plans)
+
+    def fold(p, a, e):
+        w1 = p["angle_mlp"]["layers"][0]["w"]
+        es = e @ w1[H:2 * H]
+        tab = es.reshape(V, k * H)
+        return pf.edge_mp_folded(p["angle_mlp"], p["edge_mlp"], a, tab,
+                                 e, k, plan, interpret=True,
+                                 out_activation=out_act, skip_a_out=True)
+
+    re_, _ = ref(params, a, e)
+    if out_act == "selu":
+        re_ = jax.nn.selu(re_)
+    fe_, fa_ = fold(params, a, e)
+    assert fa_ is a                     # input handed back, not recomputed
+    np.testing.assert_allclose(np.asarray(fe_), np.asarray(re_),
+                               rtol=1e-4, atol=1e-5)
+
+    g_e = jnp.asarray(rng.normal(size=re_.shape).astype(np.float32))
+
+    def loss_ref(p, a, e):
+        r_e, _ = ref(p, a, e)
+        if out_act == "selu":
+            r_e = jax.nn.selu(r_e)
+        return (r_e * g_e).sum()
+
+    def loss_fold(p, a, e):
+        f_e, _ = fold(p, a, e)
+        return (f_e * g_e).sum()
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(params, a, e)
+    gf = jax.grad(loss_fold, argnums=(0, 1, 2))(params, a, e)
+    for pa, pb in zip(jax.tree_util.tree_leaves(gr),
+                      jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(pb), np.asarray(pa),
+                                   rtol=2e-3, atol=5e-4)
+
+
 def _device_plan(plan):
     return (jnp.asarray(plan.starts), jnp.asarray(plan.lidx),
             jnp.asarray(plan.exc_pos), jnp.asarray(plan.exc_idx),
