@@ -184,7 +184,8 @@ def gn_block(params: dict,
              compute_dtype=jnp.float32,
              out_activation: Optional[str] = None,
              window_plan=None,
-             sender_halo=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+             sender_halo=None,
+             skip_e_out: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One message-passing step: edge update → aggregate → node update.
 
     Matches ``GNBlock.forward`` (``blocks.py:175-186``): the edge MLP sees
@@ -253,7 +254,8 @@ def gn_block(params: dict,
                     e_new, v_new = pg.gn_block_fused_wg(
                         params["edge_mlp"], params["node_mlp"], e, vs, v,
                         fixed_k, window_plan, compute_dtype=cd,
-                        interpret=interpret, out_activation=out_activation)
+                        interpret=interpret, out_activation=out_activation,
+                        skip_e_out=skip_e_out)
                     return v_new, e_new
                 vsg = _sender_gather(vs, senders, sender_sort, window_plan)
                 e_new, v_new = pg.gn_block_fused(

@@ -79,19 +79,20 @@ def mus_apply(params: dict, graph: Graph, plan, num_fields: int,
         if graph.has("sender_perm") else None)
     window_plan = _window_plan_of(graph)
 
-    def run_mp_group(names, v, e, level):
+    def run_mp_group(names, v, e, level, e_dead=False):
         """Run consecutive same-level MP layers; identical-shape runs fold
         into one ``lax.scan`` over stacked params (the 4–8 repeated 128-wide
         layers per level), shrinking the HLO ~4x — a large compile-time win
         on TPU with no numeric change."""
-        def one(name_params, v, e):
+        def one(name_params, v, e, skip_e=False):
             # inter-layer SELU (mus_gnn.py:320-366) fused into the block
             if level == 1:
                 v, e = gn_block(name_params, v, e, graph.senders,
                                 graph.receivers, fixed_k=fixed_k,
                                 sender_sort=sender_sort, compute_dtype=cd,
                                 out_activation="selu",
-                                window_plan=window_plan)
+                                window_plan=window_plan,
+                                skip_e_out=skip_e)
             else:
                 v, e = gn_block(name_params, v, e,
                                 graph.data[f"senders_{level}"],
@@ -100,6 +101,12 @@ def mus_apply(params: dict, graph: Graph, plan, num_fields: int,
                                 compute_dtype=cd, out_activation="selu")
             return v, e
 
+        # ``e_dead``: an ``up`` (which restores e from the skip stack) or
+        # the decoder follows this group, so the final layer's e′ has no
+        # consumer — the fused kernel then skips its store and zero
+        # cotangent (peeled out of the layer-scan)
+        tail = names[-1] if e_dead else None
+        names = names[:-1] if e_dead else names
         trees = [params[n] for n in names]
         structs = {jax.tree_util.tree_structure(t) for t in trees}
         shapes = {tuple(x.shape for x in jax.tree_util.tree_leaves(t))
@@ -117,6 +124,8 @@ def mus_apply(params: dict, graph: Graph, plan, num_fields: int,
         else:
             for t in trees:
                 v, e = one(t, v, e)
+        if tail is not None:
+            v, e = one(params[tail], v, e, skip_e=True)
         return v, e
 
     # group consecutive MP ops (same level between down/up boundaries)
@@ -129,9 +138,11 @@ def mus_apply(params: dict, graph: Graph, plan, num_fields: int,
         else:
             grouped.append(op)
     plan = grouped
-    for op in plan:
+    for i, op in enumerate(plan):
         if op[0] == "mp_group":
-            v, e = run_mp_group(op[1], v, e, level)
+            nxt = plan[i + 1][0] if i + 1 < len(plan) else None
+            v, e = run_mp_group(op[1], v, e, level,
+                                e_dead=nxt in ("up", None))
         elif op[0] == "down":
             _, name, tgt = op
             skips.append((v, e))

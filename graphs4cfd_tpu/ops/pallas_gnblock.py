@@ -480,12 +480,17 @@ def _ring_dma(tab_hbm, win, sem, starts_ref, b, start, window, stride):
 
 
 def _make_fwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, out_dtype, out_selu,
-                        window, block_rows, stride=0, ring=False):
+                        window, block_rows, stride=0, ring=False,
+                        skip_e=False):
     def kernel(*refs):
         starts_ref = refs[0]
         e_ref, v_ref, lidx_ref, xlp_ref, xval_ref, vs_hbm = refs[1:7]
-        flat = [r[:] for r in refs[7:-4]]
-        e_out, v_out = refs[-4], refs[-3]
+        if skip_e:
+            flat = [r[:] for r in refs[7:-3]]
+            e_out, v_out = None, refs[-3]
+        else:
+            flat = [r[:] for r in refs[7:-4]]
+            e_out, v_out = refs[-4], refs[-3]
         win, sem = refs[-2], refs[-1]
         b = pl.program_id(0)
         start = pl.multiple_of(starts_ref[b], 8)
@@ -507,13 +512,15 @@ def _make_fwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, out_dtype, out_selu,
         e_new, v_new = _fwd_math(e_ref[:], vsg.astype(e_ref.dtype),
                                  v_ref[:], k, ew, eb, eln, nw, nb, nln,
                                  out_selu=out_selu)
-        e_out[:] = e_new.astype(out_dtype)
+        if not skip_e:
+            e_out[:] = e_new.astype(out_dtype)
         v_out[:] = v_new.astype(out_dtype)
     return kernel
 
 
 def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
-                        window, block_rows, stride=0, ring=False):
+                        window, block_rows, stride=0, ring=False,
+                        skip_e=False):
     n_params = 2 * n_e + 2 * n_n + (2 if has_eln else 0) \
         + (2 if has_nln else 0)
     rolling = stride > 0
@@ -524,8 +531,12 @@ def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
         e_ref, v_ref, lidx_ref, xlp_ref, xval_ref, vs_hbm = \
             refs[idx:idx + 6]
         idx += 6
-        ge_ref, gv_ref = refs[idx], refs[idx + 1]
-        idx += 2
+        if skip_e:
+            ge_ref, gv_ref = None, refs[idx]
+            idx += 1
+        else:
+            ge_ref, gv_ref = refs[idx], refs[idx + 1]
+            idx += 2
         if not rolling:
             idx += 1                   # zero-initialised dvs alias input
         flat = [r[:] for r in refs[idx:idx + n_params]]
@@ -602,10 +613,16 @@ def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
         Eb = e.shape[0]
         B = Eb // k
         gv = gv_ref[:].astype(jnp.float32)
-        ge = ge_ref[:].astype(jnp.float32)
         if out_selu:
             gv = gv * _dselu(v_new)
-            ge = ge * _dselu(e_new)
+        if skip_e:
+            # e′ has no consumer (last MP layer before an up/decoder) —
+            # its cotangent is identically zero
+            ge = None
+        else:
+            ge = ge_ref[:].astype(jnp.float32)
+            if out_selu:
+                ge = ge * _dselu(e_new)
 
         # ---- node chain backward (identical to mode A) --------------------
         if has_nln:
@@ -627,7 +644,8 @@ def _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, in_dtype, out_selu,
         daggr = jnp.dot(dhn_c, wa.T, preferred_element_type=jnp.float32)
         dv = jnp.dot(dhn_c, wv.T, preferred_element_type=jnp.float32)
 
-        de_new = ge + jnp.repeat(daggr / k, k, axis=0)
+        dagg_rep = jnp.repeat(daggr / k, k, axis=0)
+        de_new = dagg_rep if ge is None else ge + dagg_rep
 
         # ---- edge chain backward (identical to mode A) ---------------------
         if has_eln:
@@ -743,21 +761,21 @@ def _wg_specs(e, v, lidx, xlp, xval, k, block):
     ]
 
 
-_WG_STATICS = (8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19)
+_WG_STATICS = (8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=_WG_STATICS)
 def _gn_fused_wg(e, vs, v, xval, flat_params, lidx, starts, xlp,
                  n_e, n_n, has_eln, has_nln, k, block, interpret, out_selu,
-                 window, stride, zero_tail=False, ring=False):
+                 window, stride, zero_tail=False, ring=False, skip_e=False):
     return _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
                            n_e, n_n, has_eln, has_nln, k, block, interpret,
-                           out_selu, window, stride, ring)
+                           out_selu, window, stride, ring, skip_e)
 
 
 def _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
                     n_e, n_n, has_eln, has_nln, k, block, interpret,
-                    out_selu, window, stride=0, ring=False):
+                    out_selu, window, stride=0, ring=False, skip_e=False):
     grid = (v.shape[0] // block,)
     Eb = k * block
     H = vs.shape[-1]
@@ -767,50 +785,60 @@ def _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
         in_specs.append(pl.BlockSpec(p.shape, inv2,
                                      memory_space=pltpu.VMEM))
     kernel = _make_fwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, e.dtype,
-                                 out_selu, window, Eb, stride, ring)
+                                 out_selu, window, Eb, stride, ring, skip_e)
+    e_spec = pl.BlockSpec((Eb, H), lambda b, s: (b, 0),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((block, H), lambda b, s: (b, 0),
+                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
-        out_specs=(pl.BlockSpec((Eb, H), lambda b, s: (b, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((block, H), lambda b, s: (b, 0),
-                                memory_space=pltpu.VMEM)),
+        out_specs=((v_spec,) if skip_e else (e_spec, v_spec)),
         scratch_shapes=[pltpu.VMEM((window, H), vs.dtype),
                         pltpu.SemaphoreType.DMA(())],
     )
-    e_new, v_new = pl.pallas_call(
+    e_shape = jax.ShapeDtypeStruct((e.shape[0], H), e.dtype)
+    v_shape = jax.ShapeDtypeStruct((v.shape[0], H), e.dtype)
+    outs = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((e.shape[0], H), e.dtype),
-                   jax.ShapeDtypeStruct((v.shape[0], H), e.dtype)),
+        out_shape=((v_shape,) if skip_e else (e_shape, v_shape)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(starts, e, v, lidx, xlp, xval, vs, *flat_params)
-    return e_new, v_new
+    if skip_e:
+        return outs[0]
+    return outs
 
 
 def _gn_wg_vjp_fwd(e, vs, v, xval, flat_params, lidx, starts, xlp,
                    n_e, n_n, has_eln, has_nln, k, block, interpret,
-                   out_selu, window, stride, zero_tail=False, ring=False):
+                   out_selu, window, stride, zero_tail=False, ring=False,
+                   skip_e=False):
     out = _gn_wg_fwd_impl(e, vs, v, xval, flat_params, lidx, starts, xlp,
                           n_e, n_n, has_eln, has_nln, k, block, interpret,
-                          out_selu, window, stride, ring)
+                          out_selu, window, stride, ring, skip_e)
     return out, (e, vs, v, xval, flat_params, lidx, starts, xlp)
 
 
 def _gn_wg_vjp_bwd(n_e, n_n, has_eln, has_nln, k, block, interpret,
-                   out_selu, window, stride, zero_tail, ring, res, g):
+                   out_selu, window, stride, zero_tail, ring, skip_e,
+                   res, g):
     e, vs, v, xval, flat_params, lidx, starts, xlp = res
-    ge, gv = g
+    if skip_e:
+        ge, gv = None, g
+    else:
+        ge, gv = g
     rolling = stride > 0
     grid = (v.shape[0] // block,)
     Eb = k * block
     H = vs.shape[-1]
     X = xlp.shape[-1]
     in_specs = _wg_specs(e, v, lidx, xlp, xval, k, block)
-    ct_specs = [pl.BlockSpec((Eb, H), lambda b, s: (b, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, H), lambda b, s: (b, 0),
-                             memory_space=pltpu.VMEM)]
+    ct_specs = ([] if skip_e else
+                [pl.BlockSpec((Eb, H), lambda b, s: (b, 0),
+                              memory_space=pltpu.VMEM)])
+    ct_specs.append(pl.BlockSpec((block, H), lambda b, s: (b, 0),
+                                 memory_space=pltpu.VMEM))
     if not rolling:
         # zero-initialised dvs buffer, aliased to the dvs output (the
         # rolling path writes every dvs row exactly once → no init needed)
@@ -841,17 +869,20 @@ def _gn_wg_vjp_bwd(n_e, n_n, has_eln, has_nln, k, block, interpret,
                pltpu.SemaphoreType.DMA(())]
     scratch += [pltpu.VMEM(p.shape, jnp.float32) for p in flat_params]
     kernel = _make_bwd_kernel_wg(n_e, n_n, has_eln, has_nln, k, e.dtype,
-                                 out_selu, window, Eb, stride, ring)
+                                 out_selu, window, Eb, stride, ring, skip_e)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
         out_specs=tuple(out_specs), scratch_shapes=scratch)
-    # operand order: starts, e, v, lidx, xlp, xval, vs, ge, gv[, zeros],
+    # operand order: starts, e, v, lidx, xlp, xval, vs, [ge,] gv[, zeros],
     # *flat — rolling mode needs no zeros (each dvs row flushed once)
-    operands = [starts, e, v, lidx, xlp, xval, vs, ge, gv]
+    operands = [starts, e, v, lidx, xlp, xval, vs]
+    if not skip_e:
+        operands.append(ge)
+    operands.append(gv)
     aliases = {}
     if not rolling:
+        aliases = {len(operands): 3}    # zeros -> dvs output
         operands.append(jnp.zeros(vs.shape, jnp.float32))
-        aliases = {9: 3}                # zeros -> dvs output
     outs = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=tuple(out_shapes),
         input_output_aliases=aliases,
@@ -907,7 +938,8 @@ def gn_block_fused_wg(edge_mlp: dict, node_mlp: dict, e, vs, v, k: int,
                       plan, *, compute_dtype=jnp.float32,
                       interpret: bool = False,
                       out_activation: str = None,
-                      zero_tail: bool = False
+                      zero_tail: bool = False,
+                      skip_e_out: bool = False
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused GN block with the sender gather *inside* the kernel.
 
@@ -953,8 +985,13 @@ def gn_block_fused_wg(edge_mlp: dict, node_mlp: dict, e, vs, v, k: int,
     ring = (stride > 0 and window % stride == 0
             and os.environ.get("GRAPHS4CFD_WG_RING", "0")
             not in ("0", "false"))
-    return _gn_fused_wg(e.astype(act), vs, v.astype(act), xval, flat,
-                        lidx, starts, xlp3,
-                        len(ew), len(nw), bool(eln), bool(nln), k, block,
-                        interpret, out_activation == "selu", window,
-                        stride, zero_tail, ring)
+    out = _gn_fused_wg(e.astype(act), vs, v.astype(act), xval, flat,
+                       lidx, starts, xlp3,
+                       len(ew), len(nw), bool(eln), bool(nln), k, block,
+                       interpret, out_activation == "selu", window,
+                       stride, zero_tail, ring, skip_e_out)
+    if skip_e_out:
+        # e′ has no consumer (caller-asserted): hand the INPUT edge state
+        # back so the (e, v) contract holds; it must be ignored
+        return e, out
+    return out

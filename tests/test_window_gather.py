@@ -417,3 +417,55 @@ def test_gn_block_fused_wg_matches(rng, stride, ring, monkeypatch):
                                        rtol=2e-3, atol=5e-4)
     finally:
         g4c_config.use_pallas = old
+
+
+@pytest.mark.parametrize("stride,ring", [(128, True), (0, False)])
+def test_gn_block_fused_wg_skip_e_out(rng, stride, ring, monkeypatch):
+    """skip_e_out: v′ and all input grads must equal the plain path under
+    a zero e′ cotangent (last MP layer before an up/decoder)."""
+    from graphs4cfd_tpu.nn import blocks
+    from graphs4cfd_tpu.nn.mlp import init_mlp
+    from graphs4cfd_tpu.ops import pallas_gnblock as pg
+    from graphs4cfd_tpu import config as g4c_config
+
+    monkeypatch.setenv("GRAPHS4CFD_WG_RING", "1" if ring else "0")
+    V, k, H = 512, 4, 128
+    _, idx, plan = _mk(rng, N=V, M=V * k, H=H, block_rows=k * 128,
+                       window=256, spread=60, stride=stride)
+    dp = _device_plan(plan)
+    assert pg.supports_wg(dp, V, k)
+    senders = jnp.asarray(idx)
+    receivers = jnp.asarray(np.repeat(np.arange(V, dtype=np.int32), k))
+    v = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(V * k, H)).astype(np.float32))
+    params = {"edge_mlp": init_mlp(jax.random.key(0), 3 * H, (H, H, H), True),
+              "node_mlp": init_mlp(jax.random.key(1), 2 * H, (H, H, H), True)}
+
+    old = g4c_config.use_pallas
+    g4c_config.use_pallas = True
+    try:
+        rv, _ = blocks.gn_block(params, v, e, senders, receivers,
+                                fixed_k=k, out_activation="selu")
+        wv, we = blocks.gn_block(params, v, e, senders, receivers,
+                                fixed_k=k, out_activation="selu",
+                                window_plan=dp, skip_e_out=True)
+        assert we is e                  # input handed back, not recomputed
+        np.testing.assert_allclose(np.asarray(wv), np.asarray(rv),
+                                   rtol=1e-5, atol=1e-5)
+
+        g_v = jnp.asarray(rng.normal(size=rv.shape).astype(np.float32))
+
+        def loss(p, v, e, wp, skip):
+            av, _ = blocks.gn_block(p, v, e, senders, receivers,
+                                    fixed_k=k, out_activation="selu",
+                                    window_plan=wp, skip_e_out=skip)
+            return (av * g_v).sum()
+
+        gr = jax.grad(loss, argnums=(0, 1, 2))(params, v, e, None, False)
+        gw = jax.grad(loss, argnums=(0, 1, 2))(params, v, e, dp, True)
+        for x, y in zip(jax.tree_util.tree_leaves(gr),
+                        jax.tree_util.tree_leaves(gw)):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       rtol=2e-3, atol=5e-4)
+    finally:
+        g4c_config.use_pallas = old
