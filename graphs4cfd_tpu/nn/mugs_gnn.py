@@ -61,14 +61,14 @@ def mugs_apply(params: dict, graph: Graph, plan, num_fields: int,
     level = 1
     skips = {}
 
-    def run_group(names, v, e_l, lvl):
+    def run_group(names, v, e_l, lvl, e_dead=False):
         """Fold identical-shape consecutive layers into one lax.scan
         (compile-time optimisation; numerics unchanged)."""
         suffix = "" if lvl == 1 else f"_{lvl}"
         fixed_k = (graph.get("fixed_k") if lvl == 1
                    else graph.get(f"fixed_k_{lvl}"))
 
-        def one(p, v, e_l):
+        def one(p, v, e_l, skip_e=False):
             # inter-layer SELU fused into the block (kernel-side on the
             # fixed-k Pallas path); level-1 sender gather goes through the
             # windowed MXU plan when the loader attached one
@@ -77,9 +77,15 @@ def mugs_apply(params: dict, graph: Graph, plan, num_fields: int,
                               fixed_k=fixed_k, compute_dtype=cd,
                               out_activation="selu",
                               window_plan=(_window_plan_of(graph)
-                                           if lvl == 1 else None))
+                                           if lvl == 1 else None),
+                              skip_e_out=skip_e)
             return v, e_l
 
+        # ``e_dead``: the V-cycle never revisits this level (its last
+        # group), so the final layer's e′ has no consumer — the fused
+        # kernel skips its store and zero cotangent (peeled from the scan)
+        tail = names[-1] if e_dead else None
+        names = names[:-1] if e_dead else names
         trees = [params[n] for n in names]
         structs = {jax.tree_util.tree_structure(t) for t in trees}
         shapes = {tuple(x.shape for x in jax.tree_util.tree_leaves(t))
@@ -96,6 +102,8 @@ def mugs_apply(params: dict, graph: Graph, plan, num_fields: int,
         else:
             for t in trees:
                 v, e_l = one(t, v, e_l)
+        if tail is not None:
+            v, e_l = one(params[tail], v, e_l, skip_e=True)
         return v, e_l
 
     # group consecutive same-level layers
@@ -105,7 +113,8 @@ def mugs_apply(params: dict, graph: Graph, plan, num_fields: int,
             groups[-1][1].append(name)
         else:
             groups.append((lvl, [name]))
-    for lvl, names in groups:
+    last_group_of_level = {lvl: i for i, (lvl, _) in enumerate(groups)}
+    for gi, (lvl, names) in enumerate(groups):
         while lvl > level:  # implicit down transition(s)
             level += 1
             skips[level - 1] = v
@@ -115,7 +124,8 @@ def mugs_apply(params: dict, graph: Graph, plan, num_fields: int,
                                 graph.data[f"up_w_{level}"])
             v = jnp.concatenate([v, skips.pop(level - 1)], axis=-1)
             level -= 1
-        v, e[level] = run_group(names, v, e[level], level)
+        v, e[level] = run_group(names, v, e[level], level,
+                                e_dead=(last_group_of_level[lvl] == gi))
     out = apply_mlp(params["decoder"], v, compute_dtype=cd)
     return graph.field[:, -num_fields:] + out
 
