@@ -178,12 +178,20 @@ def main():
     val_ds = TaylorGreenNs(4, args.n_nodes, n_out_max, topo, scale_ns,
                            seed=99, dt=args.dt)
 
-    # identity (frozen-field) 1-step baseline in scaled units → tolerance
+    # identity (frozen-field) 1-step baseline in scaled units → tolerance.
+    # Must use the SAME composition as the training loss (MSE + λ_d·L1 on
+    # Dirichlet nodes): the L1 term dominates at identity (~σ·λ_d vs σ²),
+    # so an MSE-only tolerance is ~50x too strict and the curriculum
+    # would never advance past n_out=1.
     g0 = val_ds.graph_at(0, 0, 1)
-    ident = float(np.mean((np.asarray(g0.field)
-                           - np.asarray(g0.target)) ** 2))
+    err = np.asarray(g0.field) - np.asarray(g0.target)
+    ident_mse = float(np.mean(err ** 2))
+    dir_rows = np.asarray(g0.omega)[:, 0] == 1
+    ident_l1 = float(np.abs(err[dir_rows]).mean()) if dir_rows.any() else 0.0
+    ident = ident_mse + 0.25 * ident_l1
     tolerance = args.tolerance_frac * ident
-    print(f"identity 1-step MSE {ident:.3e} -> tolerance {tolerance:.3e}",
+    print(f"identity 1-step loss {ident:.3e} (mse {ident_mse:.3e} + "
+          f"0.25*L1 {ident_l1:.3e}) -> tolerance {tolerance:.3e}",
           file=sys.stderr)
 
     cfg = gfd.nn.TrainConfig(
