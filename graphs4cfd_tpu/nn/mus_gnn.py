@@ -188,7 +188,13 @@ class MuSGNN(GNN):
 # ---- reference class-name aliases (API parity; mus_gnn.py:11,100,221,376,
 # 566,639,744,883) ----------------------------------------------------------
 class NsOneScaleGNN(MuSGNN):
-    PRETRAINED = {"1S-GNN-NsCircle-v1": "NsMuSGNN/NsOneScaleGNN.chk"}
+    PRETRAINED = {
+        "1S-GNN-NsCircle-v1": "NsMuSGNN/NsOneScaleGNN.chk",
+        # framework-trained on the analytic Taylor–Green NS demo
+        # (tools/train_taylor_green.py; reference binaries are LFS stubs)
+        "1S-GNN-TaylorGreen-TPU-v1":
+            "NsMuSGNN/NsOneScaleGNN_taylor_green_tpu.chk",
+    }
 
 
 class NsTwoScaleGNN(MuSGNN):
@@ -204,7 +210,13 @@ class NsFourScaleGNN(MuSGNN):
 
 
 class AdvOneScaleGNN(MuSGNN):
-    PRETRAINED = {"1S-GNN-UniformAdv-v1": "AdvMuSGNN/AdvOneScaleGNN.chk"}
+    PRETRAINED = {
+        "1S-GNN-UniformAdv-v1": "AdvMuSGNN/AdvOneScaleGNN.chk",
+        # framework-trained on the analytic advection demo
+        # (tools/train_synthetic_adv.py; reference binaries are LFS stubs)
+        "1S-GNN-SynthAdv-TPU-v1":
+            "AdvMuSGNN/AdvOneScaleGNN_synthadv_tpu.chk",
+    }
 
 
 class AdvTwoScaleGNN(MuSGNN):
