@@ -67,8 +67,13 @@ class TaylorGreenNs:
         for i in range(n_sims):
             r = np.random.default_rng(seed * 1000 + i)
             pos = r.random((n_nodes, 2)).astype(np.float32)
+            # ν range keeps τ = 1/(8π²ν) ∈ [2.1, 6.3] s: the vortex decays
+            # visibly over the 100-step (t=2) rollout horizon but retains
+            # O(1) variance — with faster decay (ν ≥ 0.005) the true field
+            # vanishes by step ~50 and r² = 1 − MSE/var divides by ~0,
+            # making the long-horizon metric meaningless for ANY model
             prm = (r.uniform(-0.2, 0.2), r.uniform(-0.2, 0.2),
-                   r.uniform(0.5, 1.0), r.uniform(0.005, 0.02),
+                   r.uniform(0.5, 1.0), r.uniform(0.002, 0.006),
                    r.random(), r.random())
             # 5% Dirichlet nodes exercise the λ_d L1 term of GraphLoss
             omega = (r.random((n_nodes, 1)) < 0.05).astype(np.float32)
@@ -112,9 +117,10 @@ class TaylorGreenNs:
         return self.graph_at(i, t0, self.n_out)
 
 
-# value ranges for ScaleNs min-max normalisation (|u|,|v| ≤ 0.2 + U0)
+# value ranges for ScaleNs min-max normalisation (|u|,|v| ≤ 0.2 + U0;
+# Re = U0/ν ∈ [83, 500] for U0 ∈ [0.5, 1], ν ∈ [0.002, 0.006])
 SCALING = {"u": (-1.3, 1.3), "v": (-1.3, 1.3), "p": (-0.6, 0.6),
-           "Re": (25.0, 200.0)}
+           "Re": (50.0, 550.0)}
 
 
 def main():
