@@ -150,7 +150,13 @@ def _add_folded_gather_plan(out: dict, num_nodes: int, k: int,
     """
     import os
     from .ops.window_plan import build_window_gather_plan
-    pw, pb = pref if pref is not None else (1024, 64)
+    # default (256, 64): round-3 TPU sweep on the REMuS 3-scale step —
+    # w1024 80.1 ms, w512 68.4, w384 65.7, **w256 64.2**, w128 66.3.  The
+    # folded gather's one-hot MACs scale with window width while the
+    # per-block exception padding stayed at X=64 across the whole sweep,
+    # so smaller windows are nearly free until ~256; below that the extra
+    # misses outweigh the MAC savings.
+    pw, pb = pref if pref is not None else (256, 64)
     window = int(os.environ.get("GRAPHS4CFD_FOLD_WINDOW", str(pw)))
     b = int(os.environ.get("GRAPHS4CFD_FOLD_BLOCK", str(pb)))
     while b > 1 and num_nodes % b:
