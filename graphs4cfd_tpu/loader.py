@@ -84,6 +84,20 @@ def _round_up(n: int, mult: int) -> int:
     return mult * math.ceil(n / mult) if mult > 1 else n
 
 
+def _ladder_windows(window: int, num_nodes: int) -> List[int]:
+    """Preferred window first, then doubling fallbacks that still fit the
+    table.  Small/multi-sample batches can exceed the planner's miss cap at
+    the tuned window (the round-3 (256, 64) folded default does on 2-sample
+    collates); a wider window always lowers the miss rate, so ladder up
+    before giving up — a slightly-wider fused kernel beats the silent XLA
+    fallback every time (BASELINE.md: fused vs unfused ≥ 15 ms)."""
+    w, out = window, []
+    while w <= num_nodes and w <= 4096:
+        out.append(w)
+        w *= 2
+    return out
+
+
 def _add_window_gather_plan(out: dict, num_nodes: int, k: int,
                             exc_pad: Optional[int] = None,
                             blk_pad: Optional[int] = None,
@@ -118,9 +132,13 @@ def _add_window_gather_plan(out: dict, num_nodes: int, k: int,
         kwargs["min_exc_pad"] = exc_pad
     if blk_pad is not None:
         kwargs["min_blk_pad"] = blk_pad
-    plan = build_window_gather_plan(out["senders"], num_nodes,
-                                    block_rows=block_rows, window=window,
-                                    stride=b, **kwargs)
+    plan = None
+    for w in _ladder_windows(window, num_nodes):
+        plan = build_window_gather_plan(out["senders"], num_nodes,
+                                        block_rows=block_rows, window=w,
+                                        stride=b, **kwargs)
+        if plan is not None:
+            break
     if plan is None:
         return
     out["wg_starts"] = plan.starts
@@ -172,9 +190,13 @@ def _add_folded_gather_plan(out: dict, num_nodes: int, k: int,
         kwargs["min_exc_pad"] = exc_pad
     if blk_pad is not None:
         kwargs["min_blk_pad"] = blk_pad
-    plan = build_window_gather_plan(senders, num_nodes,
-                                    block_rows=block_rows, window=window,
-                                    stride=b, **kwargs)
+    plan = None
+    for w in _ladder_windows(window, num_nodes):
+        plan = build_window_gather_plan(senders, num_nodes,
+                                        block_rows=block_rows, window=w,
+                                        stride=b, **kwargs)
+        if plan is not None:
+            break
     if plan is None:
         return
     tag = "wg_fold" if level == 1 else f"wg_fold{level}"
@@ -397,18 +419,29 @@ def collate_sharded(graphs: Sequence[Graph], num_shards: int,
         if all("wg_starts" in d for d in per_shard):
             exc_pad = max(d["wg_exc_pos"].shape[0] for d in per_shard)
             blk_pad = max(d["wg_exc_lpos"].shape[1] for d in per_shard)
+            # the ladder may have attached different windows per shard; the
+            # stacked plan needs ONE static window, so re-plan every shard
+            # starting at the widest attached window
+            wmax = max(d["wg_window"] for d in per_shard)
+            pb = wg_pref[1] if wg_pref is not None else 128
             per_shard = []
             for i in range(num_shards):
                 d = {"senders": out["senders"][i]}
                 _add_window_gather_plan(d, num_nodes, fixed_k,
                                         exc_pad=exc_pad, blk_pad=blk_pad,
-                                        pref=wg_pref)
+                                        pref=(wmax, pb))
                 per_shard.append(d)
-            for key in ("wg_starts", "wg_lidx", "wg_exc_pos", "wg_exc_idx",
-                        "wg_exc_lpos", "wg_exc_nidx"):
-                out[key] = np.stack([d[key] for d in per_shard], axis=0)
-            out["wg_window"] = per_shard[0]["wg_window"]
-            out["wg_block_rows"] = per_shard[0]["wg_block_rows"]
+            if (all("wg_starts" in d for d in per_shard)
+                    and len({d["wg_window"] for d in per_shard}) == 1
+                    and len({d["wg_exc_pos"].shape[0]
+                             for d in per_shard}) == 1
+                    and len({d["wg_exc_lpos"].shape[1]
+                             for d in per_shard}) == 1):
+                for key in ("wg_starts", "wg_lidx", "wg_exc_pos",
+                            "wg_exc_idx", "wg_exc_lpos", "wg_exc_nidx"):
+                    out[key] = np.stack([d[key] for d in per_shard], axis=0)
+                out["wg_window"] = per_shard[0]["wg_window"]
+                out["wg_block_rows"] = per_shard[0]["wg_block_rows"]
     return Graph(data=out)
 
 

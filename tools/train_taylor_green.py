@@ -123,6 +123,32 @@ SCALING = {"u": (-1.3, 1.3), "v": (-1.3, 1.3), "p": (-0.6, 0.6),
            "Re": (50.0, 550.0)}
 
 
+def build_arch(W, depth, scales):
+    """V-cycle arch dict for 1-4 scales (reference layer naming:
+    ``/root/reference/graphs4cfd/nn/mus_gnn.py:221-310`` — ``depth`` MP
+    layers per level visit, ``2*depth`` at the coarsest)."""
+    mp = ((W + 2 * W, (W, W, W), True), (W + W, (W, W, W), True))
+    arch = {"edge_encoder": (2, (W, W, W), False),
+            "node_encoder": (5, (W, W, W), False)}
+    if scales == 1:
+        arch.update({f"mp1{i}": mp for i in range(1, depth + 1)})
+    else:
+        for l in range(1, scales):                      # downward sweep
+            arch.update({f"mp{l}1{i}": mp for i in range(1, depth + 1)})
+            arch[f"down_mp{l}{l + 1}"] = (2 + W, (W, W, W), True)
+        arch.update({f"mp{scales}{i}": mp
+                     for i in range(1, 2 * depth + 1)})  # coarsest
+        for l in range(scales - 1, 0, -1):              # upward sweep
+            arch[f"up_mp{l + 1}{l}"] = (2 + W + W, (W, W, W), True)
+            arch.update({f"mp{l}2{i}": mp for i in range(1, depth + 1)})
+    arch["decoder"] = (W, (W, W, 3), False)
+    return arch
+
+
+MODEL_BY_SCALES = {1: "NsOneScaleGNN", 2: "NsTwoScaleGNN",
+                   3: "NsThreeScaleGNN", 4: "NsFourScaleGNN"}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=400)
@@ -130,6 +156,12 @@ def main():
     ap.add_argument("--n-nodes", type=int, default=1024)
     ap.add_argument("--width", type=int, default=64)
     ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--scales", type=int, default=1, choices=(1, 2, 3, 4))
+    ap.add_argument("--cells", type=str, default=None,
+                    help="comma-separated GridClustering cell sizes "
+                         "(default 0.08[,0.16[,0.32]] per --scales)")
+    ap.add_argument("--tag", type=str, default="",
+                    help="suffix for checkpoint/results/fixture filenames")
     ap.add_argument("--nmax", type=int, default=8)
     ap.add_argument("--sims", type=int, default=256)
     ap.add_argument("--rollout", type=int, default=100)
@@ -164,15 +196,14 @@ def main():
     from graphs4cfd_tpu.metrics import r2, rollout_rmse
 
     W = args.width
-    mp = ((W + 2 * W, (W, W, W), True), (W + W, (W, W, W), True))
-    arch = {
-        "edge_encoder": (2, (W, W, W), False),
-        "node_encoder": (5, (W, W, W), False),   # uvp(3) + Re + ω
-        **{f"mp1{i}": mp for i in range(1, args.depth + 1)},
-        "decoder": (W, (W, W, 3), False),
-    }
+    arch = build_arch(W, args.depth, args.scales)
+    cells = ([float(c) for c in args.cells.split(",")] if args.cells
+             else [0.08 * 2 ** i for i in range(args.scales - 1)])
+    assert len(cells) == args.scales - 1, (cells, args.scales)
     topo = Compose([gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
-                    gfd.transforms.ScaleEdgeAttr(0.04)])
+                    gfd.transforms.ScaleEdgeAttr(0.04)]
+                   + ([gfd.transforms.GridClustering(cells)]
+                      if cells else []))
     scale_ns = gfd.transforms.ScaleNs(SCALING, format="uvp")
     train_sample = Compose(
         [scale_ns]
@@ -200,9 +231,11 @@ def main():
           f"0.25*L1 {ident_l1:.3e}) -> tolerance {tolerance:.3e}",
           file=sys.stderr)
 
+    name = f"taylor_green{args.tag}"
+    chk = f"./{name}.chk"
     cfg = gfd.nn.TrainConfig(
-        name="taylor_green", folder=".", tensor_board=None, chk_interval=10,
-        checkpoint="./taylor_green.chk" if args.resume else None,
+        name=name, folder=".", tensor_board=None, chk_interval=10,
+        checkpoint=chk if args.resume else None,
         training_loss=gfd.nn.GraphLoss(lambda_d=0.25),
         validation_loss=gfd.nn.GraphLoss(lambda_d=0.25),
         epochs=args.epochs,
@@ -213,23 +246,31 @@ def main():
         scheduler={"factor": 0.5, "patience": args.patience,
                    "loss": "training"},
         stopping=1e-8, mixed_precision=not args.cpu)
-    model = gfd.nn.NsOneScaleGNN(
+    model_cls_name = MODEL_BY_SCALES[args.scales]
+    model = getattr(gfd.nn, model_cls_name)(
         arch=arch, scan_layers=True,
         compute_dtype=jnp.bfloat16 if not args.cpu else jnp.float32)
     print(f"params: {model.num_params}", file=sys.stderr)
     t0 = time.time()
     if args.eval_only:
-        model.load_model(checkpoint="./taylor_green.chk")
+        model.load_model(checkpoint=chk)
         model.compute_dtype = jnp.bfloat16 if not args.cpu else jnp.float32
     else:
         if args.init_from:
             model.load_model(checkpoint=args.init_from)
             print(f"warm-started weights from {args.init_from}",
                   file=sys.stderr)
+        # multi-scale: node_bucket must NOT be the full 8192 (it pads every
+        # coarse level to it too); 512 keeps L1 exact (8×1024 is a
+        # multiple) and coarse levels tight.  edge_bucket 4096 absorbs the
+        # coarse-edge-count variance (measured 5.9-6.6k for L2 at batch 8)
+        # into ONE compiled shape instead of straddling a 1024/2048
+        # boundary every few batches (remote compiles are minutes each).
+        nb, eb = (1024 * 8, 1024) if args.scales == 1 else (512, 4096)
         train_loader = DataLoader(train_ds, batch_size=8, shuffle=True,
-                                  node_bucket=1024 * 8, edge_bucket=1024)
-        val_loader = DataLoader(val_ds, batch_size=4, node_bucket=1024 * 8,
-                                edge_bucket=1024)
+                                  node_bucket=nb, edge_bucket=eb)
+        val_loader = DataLoader(val_ds, batch_size=4, node_bucket=nb,
+                                edge_bucket=eb)
         model.fit(cfg, train_loader, val_loader)
     train_time = time.time() - t0
     if args.eval_f32:
@@ -261,7 +302,7 @@ def main():
                         r2(pred[mask, sl], target[mask, sl]), 4)
     results["rollout_rmse_mean4"] = round(float(np.mean(rmses)), 5)
     print(json.dumps(results))
-    with open("taylor_green_results.json", "w") as f:
+    with open(f"{name}_results.json", "w") as f:
         json.dump(results, f, indent=1)
 
     if args.pin_fixture:
@@ -269,18 +310,17 @@ def main():
         fixdir = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "tests", "fixtures")
         os.makedirs(fixdir, exist_ok=True)
-        shutil.copy("./taylor_green.chk",
-                    os.path.join(fixdir, "taylor_green_model.chk"))
+        shutil.copy(chk, os.path.join(fixdir, f"{name}_model.chk"))
         pins = {
             "n_nodes": args.n_nodes, "dt": args.dt,
-            "model_cls": "NsOneScaleGNN",
+            "model_cls": model_cls_name,
+            "cells": cells,
             "r2_step50_min": round(results.get("r2_step50", 0.0) - 0.1, 4),
             "r2_step100_min": round(results.get("r2_step100", 0.0) - 0.1,
                                     4),
             "rollout_rmse_max": round(results["rollout_rmse"] * 1.3, 5),
         }
-        with open(os.path.join(fixdir, "taylor_green_pins.json"),
-                  "w") as f:
+        with open(os.path.join(fixdir, f"{name}_pins.json"), "w") as f:
             json.dump(pins, f, indent=1)
         print("pinned fixture:", pins)
 
