@@ -90,11 +90,15 @@ def main():
 
     vs = (edges_per_s / BASELINE_EDGES_PER_S
           if BASELINE_EDGES_PER_S else 1.0)
+    from graphs4cfd_tpu.config import fast_path_report
     print(json.dumps({
         "metric": "training_edges_per_sec_per_chip_mus3",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 3),
+        # dispatch observability: plans attached + kernels engaged by the
+        # traced step; a silent fallback shows up as :none/:unfused here
+        "fast_paths": fast_path_report(),
     }))
 
 

@@ -26,6 +26,32 @@ def ablation() -> str:
     return os.environ.get("GRAPHS4CFD_ABLATE", "")
 
 
+#: Fast-path observability (VERDICT r3 weak #4): every dispatch site on
+#: the hot path records which implementation it chose — at trace time for
+#: jitted code (once per compiled program) and per batch for host-side
+#: plan builders.  A silent fallback (plan failed to attach, ``supports``
+#: declined) then shows up as an ``:xla`` entry instead of vanishing.
+kernel_choices: dict = {}
+
+
+def record_choice(site: str, choice: str) -> None:
+    key = f"{site}:{choice}"
+    kernel_choices[key] = kernel_choices.get(key, 0) + 1
+
+
+def fast_path_report(reset: bool = False) -> dict:
+    """Counters of dispatch decisions since the last reset.
+
+    Keys are ``site:choice`` (e.g. ``gn_block:fused_wg``, ``wg_plan:w512``,
+    ``fold_plan:none``).  bench.py emits this in its JSON line; ``fit``
+    logs it once after the first epoch.
+    """
+    out = dict(sorted(kernel_choices.items()))
+    if reset:
+        kernel_choices.clear()
+    return out
+
+
 def pallas_enabled() -> bool:
     global use_pallas
     if use_pallas is None:

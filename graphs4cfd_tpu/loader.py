@@ -124,8 +124,10 @@ def _add_window_gather_plan(out: dict, num_nodes: int, k: int,
     b = int(os.environ.get("GRAPHS4CFD_GATHER_BLOCK", str(pb)))
     while b > 1 and num_nodes % b:
         b //= 2
+    from .config import record_choice
     block_rows = k * b
     if num_nodes < window or E % block_rows:
+        record_choice("wg_plan", "none")
         return
     kwargs = {}
     if exc_pad is not None:
@@ -140,7 +142,9 @@ def _add_window_gather_plan(out: dict, num_nodes: int, k: int,
         if plan is not None:
             break
     if plan is None:
+        record_choice("wg_plan", "none")
         return
+    record_choice("wg_plan", f"w{plan.window}")
     out["wg_starts"] = plan.starts
     out["wg_lidx"] = plan.lidx
     out["wg_exc_pos"] = plan.exc_pos
@@ -183,7 +187,9 @@ def _add_folded_gather_plan(out: dict, num_nodes: int, k: int,
     suf = "" if level == 1 else f"_{level}"
     senders = out[f"senders{suf}"]
     E = senders.shape[0]
+    from .config import record_choice
     if num_nodes < window or E % block_rows:
+        record_choice(f"fold_plan_l{level}", "none")
         return
     kwargs = {}
     if exc_pad is not None:
@@ -198,7 +204,9 @@ def _add_folded_gather_plan(out: dict, num_nodes: int, k: int,
         if plan is not None:
             break
     if plan is None:
+        record_choice(f"fold_plan_l{level}", "none")
         return
+    record_choice(f"fold_plan_l{level}", f"w{plan.window}")
     tag = "wg_fold" if level == 1 else f"wg_fold{level}"
     out[f"{tag}_starts"] = plan.starts
     out[f"{tag}_lidx"] = plan.lidx

@@ -74,15 +74,20 @@ def _sender_gather(vs, senders, sender_sort, window_plan):
         return jnp.broadcast_to(
             vs[:, None, :], (vs.shape[0], k, vs.shape[-1])
         ).reshape(E, vs.shape[-1])
+    from ..config import record_choice
     if window_plan is not None:
         from ..ops import pallas_gather as pg
         window, block_rows = int(window_plan[4]), int(window_plan[5])
-        if pg.supports(vs.shape[0], senders.shape[0], window, block_rows):
+        if pg.supports(vs.shape[0], senders.shape[0], window, block_rows,
+                       vs.shape[-1]):
             interpret = jax.default_backend() != "tpu"
+            record_choice("sender_gather", "windowed")
             return pg.windowed_take(vs, window_plan, interpret=interpret)
     if sender_sort is not None:
         from ..ops.segment import gather_sorted_bwd
+        record_choice("sender_gather", "sorted_bwd")
         return gather_sorted_bwd(vs, senders, *sender_sort)
+    record_choice("sender_gather", "xla")
     return vs[senders]
 
 
@@ -113,7 +118,8 @@ def _halo_gather(vs_local, sender_halo, window_plan):
     if window_plan is not None:
         from ..ops import pallas_gather as pg
         window, block_rows = int(window_plan[4]), int(window_plan[5])
-        if pg.supports(tab.shape[0], lidx.shape[0], window, block_rows):
+        if pg.supports(tab.shape[0], lidx.shape[0], window, block_rows,
+                       tab.shape[-1]):
             interpret = jax.default_backend() != "tpu"
             return pg.windowed_take(tab, window_plan, interpret=interpret,
                                     zero_tail=True)
@@ -231,12 +237,17 @@ def gn_block(params: dict,
                         # rolling flush cannot cover the trailing halo
                         # region of the local table — zero those dvs rows
                         # (their cotangent rides the exception path)
+                        # skip_e_out composes with zero_tail: the skipped
+                        # e′ store / zero-cotangent read is orthogonal to
+                        # the trailing-halo dvs zeroing (ADVICE r3 #3 —
+                        # carries the single-chip skip_e win to the
+                        # sharded step)
                         e_new, v_new = pg.gn_block_fused_wg(
                             params["edge_mlp"], params["node_mlp"], e,
                             tab, v, fixed_k, window_plan, compute_dtype=cd,
                             interpret=interpret,
                             out_activation=out_activation,
-                            zero_tail=True)
+                            zero_tail=True, skip_e_out=skip_e_out)
                     else:
                         vsg = tab[lidx.reshape(-1)]
                         e_new, v_new = pg.gn_block_fused(
@@ -251,18 +262,24 @@ def gn_block(params: dict,
                     # windowed gather fused into the kernel (blocking
                     # follows the plan): no [E, H] vsg materialisation
                     # roundtrip through HBM
+                    from ..config import record_choice as _rec
+                    _rec("gn_block", "fused_wg")
                     e_new, v_new = pg.gn_block_fused_wg(
                         params["edge_mlp"], params["node_mlp"], e, vs, v,
                         fixed_k, window_plan, compute_dtype=cd,
                         interpret=interpret, out_activation=out_activation,
                         skip_e_out=skip_e_out)
                     return v_new, e_new
+                from ..config import record_choice as _rec
+                _rec("gn_block", "fused")
                 vsg = _sender_gather(vs, senders, sender_sort, window_plan)
                 e_new, v_new = pg.gn_block_fused(
                     params["edge_mlp"], params["node_mlp"], e, vsg, v,
                     fixed_k, compute_dtype=cd, interpret=interpret,
                     out_activation=out_activation)
                 return v_new, e_new
+    from ..config import record_choice as _rec
+    _rec("gn_block", "unfused")
     h = _edge_first_layer(params["edge_mlp"], e, v, senders, receivers,
                           compute_dtype, fixed_k=fixed_k,
                           sender_sort=sender_sort, window_plan=window_plan,
@@ -412,7 +429,7 @@ def edge_mp(params: dict,
             from ..ops import pallas_gather as pg
             V = E // k
             win, br = int(window_plan[4]), int(window_plan[5])
-            if pg.supports(V, E, win, br):
+            if pg.supports(V, E, win, br, k * es.shape[-1]):
                 tab = es.reshape(V, k * es.shape[-1])
                 interpret = jax.default_backend() != "tpu"
                 return pg.windowed_take(tab, window_plan,
@@ -433,6 +450,8 @@ def edge_mp(params: dict,
                 if pf.supports_folded(folded_plan, params["angle_mlp"],
                                       params["edge_mlp"], E, E // k, k,
                                       fa, fe):
+                    from ..config import record_choice as _rec
+                    _rec("edge_mp", "folded")
                     es = (ec @ ws).astype(act)
                     tab = es.reshape(E // k, k * es.shape[-1])
                     interpret = jax.default_backend() != "tpu"
@@ -451,6 +470,8 @@ def edge_mp(params: dict,
                     asg = jnp.zeros((E * k, es.shape[-1]), es.dtype)
                 else:
                     asg = gather_es(es).reshape(E * k, -1)
+                from ..config import record_choice as _rec
+                _rec("edge_mp", "fused")
                 interpret = jax.default_backend() != "tpu"
                 a_new, e_new = pg.gn_block_fused(
                     params["angle_mlp"], params["edge_mlp"],
@@ -461,6 +482,8 @@ def edge_mp(params: dict,
 
     # XLA path: fused first angle layer Wa@a + (e@Ws)[angle_src] + (e@Wr)
     # broadcast — sender/receiver projections once per edge, not per angle
+    from ..config import record_choice as _rec
+    _rec("edge_mp", "unfused")
     h = (a.astype(cd) @ wa).astype(act)
     es = (ec @ ws).astype(act)
     h = h + gather_es(es)

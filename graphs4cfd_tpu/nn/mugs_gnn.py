@@ -83,8 +83,10 @@ def mugs_apply(params: dict, graph: Graph, plan, num_fields: int,
 
         # ``e_dead``: the V-cycle never revisits this level (its last
         # group), so the final layer's e′ has no consumer — the fused
-        # kernel skips its store and zero cotangent (peeled from the scan)
-        tail = names[-1] if e_dead else None
+        # kernel skips its store and zero cotangent (peeled from the
+        # scan).  Peel only where the fused fixed-k path can honour the
+        # skip; elsewhere it just bloats the HLO (ADVICE r3 #1).
+        tail = names[-1] if e_dead and fixed_k is not None else None
         names = names[:-1] if e_dead else names
         trees = [params[n] for n in names]
         structs = {jax.tree_util.tree_structure(t) for t in trees}

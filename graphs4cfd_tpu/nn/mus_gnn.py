@@ -104,8 +104,13 @@ def mus_apply(params: dict, graph: Graph, plan, num_fields: int,
         # ``e_dead``: an ``up`` (which restores e from the skip stack) or
         # the decoder follows this group, so the final layer's e′ has no
         # consumer — the fused kernel then skips its store and zero
-        # cotangent (peeled out of the layer-scan)
-        tail = names[-1] if e_dead else None
+        # cotangent (peeled out of the layer-scan).  Only peel where the
+        # skip can actually take effect — the level-1 fused-kernel path —
+        # otherwise the peel just unrolls one layer out of the scan
+        # (larger HLO, longer remote compile) for zero kernel benefit
+        # (ADVICE r3 #1).
+        can_skip = level == 1 and fixed_k is not None
+        tail = names[-1] if e_dead and can_skip else None
         names = names[:-1] if e_dead else names
         trees = [params[n] for n in names]
         structs = {jax.tree_util.tree_structure(t) for t in trees}

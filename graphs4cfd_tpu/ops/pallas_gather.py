@@ -244,5 +244,11 @@ def windowed_take(table: jnp.ndarray, plan, *,
                           zero_tail)
 
 
-def supports(table_rows: int, m: int, window: int, block_rows: int) -> bool:
-    return table_rows >= window and m % block_rows == 0
+def supports(table_rows: int, m: int, window: int, block_rows: int,
+             h: int = 128) -> bool:
+    """``h`` is the table feature width: Mosaic requires the window DMA's
+    lane-dim slice be a multiple of the 128-lane tile, so narrow tables
+    (e.g. width-64 demo models) must take the XLA gather fallback —
+    interpret mode does not check this proof (BASELINE.md r3 ledger), so
+    the gate lives here, not in the kernel."""
+    return table_rows >= window and m % block_rows == 0 and h % 128 == 0

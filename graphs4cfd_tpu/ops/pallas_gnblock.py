@@ -992,6 +992,13 @@ def gn_block_fused_wg(edge_mlp: dict, node_mlp: dict, e, vs, v, k: int,
                        stride, zero_tail, ring, skip_e_out)
     if skip_e_out:
         # e′ has no consumer (caller-asserted): hand the INPUT edge state
-        # back so the (e, v) contract holds; it must be ignored
+        # back so the (e, v) contract holds; it must be ignored.
+        # CONTRACT (ADVICE r3 #2): the returned edge state is STALE — if
+        # an engine change ever consumes it, results corrupt silently
+        # rather than failing loudly.  Deadness is computed in the engines
+        # (mus_gnn/mugs_gnn run_mp_group ``e_dead``/``can_skip``,
+        # remus_gnn ``last_visit``); the rollout_golden fixture and the
+        # family rollout-regression gates are the tripwire for that class
+        # of mistake (they run the full V-cycle against pinned numerics).
         return e, out
     return out

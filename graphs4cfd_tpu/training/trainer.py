@@ -356,6 +356,12 @@ def fit(model, train_config: TrainConfig, train_loader,
         eps_rate = edges / dt if dt > 0 else 0.0
         print(f"Epoch: {epoch:4d}, Training   loss: {training_loss:.4e}, "
               f"Gradients: {gradients_norm:.4e}, edges/s: {eps_rate:.3e}")
+        if epoch == initial_epoch:
+            # fast-path observability: which plans attached and which
+            # kernels the traced step actually engaged — a silent
+            # fallback (":none"/":unfused"/":xla") is visible here
+            from ..config import fast_path_report
+            print(f"Fast paths: {fast_path_report()}")
 
         validation_loss = None
         if val_loader is not None:

@@ -48,17 +48,19 @@ def tg_fields(pos, t, prm):
 
 
 class TaylorGreenNs:
-    """Analytic NS dataset in the framework's Graph format (uvp layout).
+    """Analytic NS dataset in the framework's Graph format.
 
+    ``fmt`` = 'uvp' (MuS/gMuS 3-field recipe) or 'uv' (REMuS 2-field).
     Topology (k-NN edges, scaled edge_attr) is cached per sim — positions
-    are fixed; each access regenerates the analytic (u,v,p) window and
+    are fixed; each access regenerates the analytic field window and
     runs the per-sample value transforms (ScaleNs, noise) on the copy.
     """
 
     def __init__(self, n_sims, n_nodes, n_out, topo_transform,
-                 sample_transform, seed=0, T=120, dt=0.02):
+                 sample_transform, seed=0, T=120, dt=0.02, fmt="uvp"):
         self.n_sims, self.n_nodes, self.T, self.dt = n_sims, n_nodes, T, dt
         self.n_out = n_out
+        self.nf = 3 if fmt == "uvp" else 2
         self.topo_transform = topo_transform
         self.sample_transform = sample_transform
         self.rng = np.random.default_rng(seed)
@@ -94,7 +96,7 @@ class TaylorGreenNs:
             g.pos = pos
             g.glob = np.full((self.n_nodes, 1), self.reynolds(i),
                              np.float32)
-            g.field = tg_fields(pos, 0.0, prm)
+            g.field = tg_fields(pos, 0.0, prm)[:, :self.nf]
             g.target = g.field
             g.omega = omega
             g.bound = np.ones(self.n_nodes, np.uint8)
@@ -105,9 +107,9 @@ class TaylorGreenNs:
         pos, prm, _ = self.sims[i]
         base = self._base_graph(i)
         g = base.replace(
-            field=tg_fields(pos, t0 * self.dt, prm),
+            field=tg_fields(pos, t0 * self.dt, prm)[:, :self.nf],
             target=np.concatenate(
-                [tg_fields(pos, (t0 + 1 + j) * self.dt, prm)
+                [tg_fields(pos, (t0 + 1 + j) * self.dt, prm)[:, :self.nf]
                  for j in range(n_out)], axis=1))
         tr = self.sample_transform if transform is None else transform
         return tr(g)
@@ -149,6 +151,57 @@ MODEL_BY_SCALES = {1: "NsOneScaleGNN", 2: "NsTwoScaleGNN",
                    3: "NsThreeScaleGNN", 4: "NsFourScaleGNN"}
 
 
+def build_arch_gmus(W, depth, scales):
+    """gMuS arch (reference naming, ``mugs_gnn.py:11-134``): per-level edge
+    encoders, implicit mask-select down / knn-interp-concat up; the first
+    layer after each up has channel-doubled node inputs."""
+    arch = {"edge_encoder": (2, (W, W, W), False)}
+    for l in range(2, scales + 1):
+        arch[f"edge_encoder{l}"] = (2, (W, W, W), False)
+    arch["node_encoder"] = (5, (W, W, W), False)
+    mp = ((W + 2 * W, (W, W, W), True), (W + W, (W, W, W), True))
+    wide = ((W + 2 * 2 * W, (W, W, W), True), (W + 2 * W, (W, W, W), True))
+    for l in range(1, scales):
+        arch.update({f"mp{l}1{i}": mp for i in range(1, depth + 1)})
+    arch.update({f"mp{scales}{i}": mp for i in range(1, 2 * depth + 1)})
+    for l in range(scales - 1, 0, -1):
+        arch[f"mp{l}21"] = wide
+        arch.update({f"mp{l}2{i}": mp for i in range(2, depth + 1)})
+    arch["decoder"] = (W, (W, W, 3), False)
+    return arch
+
+
+def build_arch_remus(W, depth, scales, n_in=1):
+    """REMuS arch (reference naming, ``remus_gnn.py:11-117``): per-level
+    angle/edge encoders, EdgeMP pairs, angle-pair down, pinv-interp up."""
+    arch = {"angle_encoder": (4, (W, W), True)}
+    for l in range(2, scales + 1):
+        arch[f"angle_encoder{l - 1}{l}"] = (4, (W, W), True)
+        arch[f"angle_encoder{l}"] = (4, (W, W), True)
+    arch["edge_encoder"] = (n_in + 2, (W, W), True)
+    for l in range(2, scales + 1):
+        arch[f"edge_encoder{l}"] = (n_in + 2, (W, W), True)
+    mp = ((W + 2 * W, (W, W), True), (W + W, (W, W), True))
+    if scales == 1:
+        arch.update({f"mp1{i}": mp for i in range(1, 2 * depth + 1)})
+    else:
+        for l in range(1, scales):
+            arch.update({f"mp{l}1{i}": mp for i in range(1, depth + 1)})
+            arch[f"down_mp{l}{l + 1}"] = mp
+        arch.update({f"mp{scales}{i}": mp
+                     for i in range(1, 2 * depth + 1)})
+        for l in range(scales - 1, 0, -1):
+            arch[f"up_mp{l + 1}{l}"] = (W + W, (W, W, W), True)
+            arch.update({f"mp{l}2{i}": mp for i in range(1, depth + 1)})
+    arch["decoder"] = (W, (W, 1), False)
+    return arch
+
+
+MODEL_BY_SCALES_GMUS = {2: "NsTwoGuillardScaleGNN",
+                        3: "NsThreeGuillardScaleGNN",
+                        4: "NsFourGuillardScaleGNN"}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=400)
@@ -156,6 +209,8 @@ def main():
     ap.add_argument("--n-nodes", type=int, default=1024)
     ap.add_argument("--width", type=int, default=64)
     ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--family", choices=("mus", "gmus", "remus"),
+                    default="mus")
     ap.add_argument("--scales", type=int, default=1, choices=(1, 2, 3, 4))
     ap.add_argument("--cells", type=str, default=None,
                     help="comma-separated GridClustering cell sizes "
@@ -196,24 +251,51 @@ def main():
     from graphs4cfd_tpu.metrics import r2, rollout_rmse
 
     W = args.width
-    arch = build_arch(W, args.depth, args.scales)
-    cells = ([float(c) for c in args.cells.split(",")] if args.cells
-             else [0.08 * 2 ** i for i in range(args.scales - 1)])
-    assert len(cells) == args.scales - 1, (cells, args.scales)
-    topo = Compose([gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
-                    gfd.transforms.ScaleEdgeAttr(0.04)]
-                   + ([gfd.transforms.GridClustering(cells)]
-                      if cells else []))
-    scale_ns = gfd.transforms.ScaleNs(SCALING, format="uvp")
+    fam = args.family
+    fmt = "uv" if fam == "remus" else "uvp"
+    cells = []
+    if fam == "mus":
+        arch = build_arch(W, args.depth, args.scales)
+        cells = ([float(c) for c in args.cells.split(",")] if args.cells
+                 else [0.08 * 2 ** i for i in range(args.scales - 1)])
+        assert len(cells) == args.scales - 1, (cells, args.scales)
+        topo = Compose([gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
+                        gfd.transforms.ScaleEdgeAttr(0.04)]
+                       + ([gfd.transforms.GridClustering(cells)]
+                          if cells else []))
+        model_cls_name = MODEL_BY_SCALES[args.scales]
+    elif fam == "gmus":
+        arch = build_arch_gmus(W, args.depth, args.scales)
+        topo = Compose([gfd.transforms.GuillardCoarseningAndConnectKNN(
+                            k=[6] * args.scales, period=(1.0, 1.0),
+                            scale_edge_attr=[0.04 * 2 ** i
+                                             for i in range(args.scales)]),
+                        gfd.transforms.BuildKnnInterpWeights(6)])
+        model_cls_name = MODEL_BY_SCALES_GMUS[args.scales]
+    else:
+        arch = build_arch_remus(W, args.depth, args.scales)
+        # non-periodic (the reference REMuS workload is NsEllipse point
+        # clouds); the analytic fields are defined everywhere, boundary
+        # nodes just see one-sided neighbourhoods
+        topo = Compose([gfd.transforms.BuildRemusGraph(
+                            num_levels=args.scales, k=5,
+                            scale_edge_length=[0.04 * 2 ** i
+                                               for i in range(args.scales)]),
+                        gfd.transforms.BuildKnnInterpWeights(5)])
+        model_cls_name = ("NsRotEquiThreeScaleGNN" if args.scales == 3
+                          else "REMuSGNN")
+    scaling = (SCALING if fmt == "uvp"
+               else {k: v for k, v in SCALING.items() if k != "p"})
+    scale_ns = gfd.transforms.ScaleNs(scaling, format=fmt)
     train_sample = Compose(
         [scale_ns]
         + ([gfd.transforms.AddUniformNoise(args.noise, seed=1)]
            if args.noise > 0 else []))
     n_out_max = args.nmax
     train_ds = TaylorGreenNs(args.sims, args.n_nodes, n_out_max, topo,
-                             train_sample, seed=1, dt=args.dt)
+                             train_sample, seed=1, dt=args.dt, fmt=fmt)
     val_ds = TaylorGreenNs(4, args.n_nodes, n_out_max, topo, scale_ns,
-                           seed=99, dt=args.dt)
+                           seed=99, dt=args.dt, fmt=fmt)
 
     # identity (frozen-field) 1-step baseline in scaled units → tolerance.
     # Must use the SAME composition as the training loss (MSE + λ_d·L1 on
@@ -242,11 +324,11 @@ def main():
         num_steps=([int(s) for s in args.stages.split(",")] if args.stages
                    else [n for n in (1, 2, 4, 6, 8, 10) if n <= args.nmax]),
         add_steps={"tolerance": tolerance, "loss": "training"},
-        batch_size=8, lr=args.lr, grad_clip={"epoch": 0, "limit": 1},
+        batch_size=4 if fam == "remus" else 8,
+        lr=args.lr, grad_clip={"epoch": 0, "limit": 1},
         scheduler={"factor": 0.5, "patience": args.patience,
                    "loss": "training"},
         stopping=1e-8, mixed_precision=not args.cpu)
-    model_cls_name = MODEL_BY_SCALES[args.scales]
     model = getattr(gfd.nn, model_cls_name)(
         arch=arch, scan_layers=True,
         compute_dtype=jnp.bfloat16 if not args.cpu else jnp.float32)
@@ -266,8 +348,10 @@ def main():
         # coarse-edge-count variance (measured 5.9-6.6k for L2 at batch 8)
         # into ONE compiled shape instead of straddling a 1024/2048
         # boundary every few batches (remote compiles are minutes each).
-        nb, eb = (1024 * 8, 1024) if args.scales == 1 else (512, 4096)
-        train_loader = DataLoader(train_ds, batch_size=8, shuffle=True,
+        nb, eb = ((1024 * 8, 1024) if fam == "mus" and args.scales == 1
+                  else (512, 4096))
+        bs = 4 if fam == "remus" else 8   # reference REMuS batch size
+        train_loader = DataLoader(train_ds, batch_size=bs, shuffle=True,
                                   node_bucket=nb, edge_bucket=eb)
         val_loader = DataLoader(val_ds, batch_size=4, node_bucket=nb,
                                 edge_bucket=eb)
@@ -294,13 +378,50 @@ def main():
                 "rollout_rmse": round(rmses[0], 5),
                 "rollout_nrmse": round(nrmse, 4),
             })
-            nf = 3
+            nf = val_ds.nf
             for s in (1, 10, 50, 100):
                 if n_roll >= s:
                     sl = slice((s - 1) * nf, s * nf)
                     results[f"r2_step{s}"] = round(
                         r2(pred[mask, sl], target[mask, sl]), 4)
     results["rollout_rmse_mean4"] = round(float(np.mean(rmses)), 5)
+
+    if fam == "remus":
+        # rotation-equivariance of the TRAINED weights: rotate the model's
+        # own inputs (scaled field + point cloud) and rebuild the REMuS
+        # topology — outputs must co-rotate (tests/test_models.py:195
+        # asserts this for random weights; here for the converged ones)
+        from graphs4cfd_tpu.graph import Graph
+        theta = 117.0
+        model.compute_dtype = jnp.float32
+        pos0, prm, omega0 = val_ds.sims[0]
+
+        def build(rot):
+            g = Graph()
+            g.pos = pos0
+            g.glob = np.full((args.n_nodes, 1), val_ds.reynolds(0),
+                             np.float32)
+            g.field = tg_fields(pos0, 0.0, prm)[:, :2]
+            g.target = g.field
+            g.omega = omega0
+            g.bound = np.ones(args.n_nodes, np.uint8)
+            g = scale_ns(g)
+            if rot:
+                g = gfd.transforms.GraphRotation(theta, eq="ns",
+                                                 format="uv")(g)
+            g = topo(g)
+            return collate([g], node_bucket=64, edge_bucket=128)
+
+        b0 = build(False)
+        valid = np.asarray(b0.node_mask)
+        out_plain = np.asarray(model.forward(b0.to_device()))[valid]
+        out_rot = np.asarray(model.forward(build(True).to_device()))[valid]
+        th = np.deg2rad(theta)
+        R = np.array([[np.cos(th), np.sin(th)],
+                      [-np.sin(th), np.cos(th)]])
+        eq_err = float(np.abs(out_rot - out_plain @ R).max())
+        results["equivariance_max_err"] = round(eq_err, 6)
+
     print(json.dumps(results))
     with open(f"{name}_results.json", "w") as f:
         json.dump(results, f, indent=1)
@@ -314,6 +435,7 @@ def main():
         pins = {
             "n_nodes": args.n_nodes, "dt": args.dt,
             "model_cls": model_cls_name,
+            "family": fam, "scales": args.scales,
             "cells": cells,
             "r2_step50_min": round(results.get("r2_step50", 0.0) - 0.1, 4),
             "r2_step100_min": round(results.get("r2_step100", 0.0) - 0.1,
