@@ -87,7 +87,7 @@ def mugs_apply(params: dict, graph: Graph, plan, num_fields: int,
         # scan).  Peel only where the fused fixed-k path can honour the
         # skip; elsewhere it just bloats the HLO (ADVICE r3 #1).
         tail = names[-1] if e_dead and fixed_k is not None else None
-        names = names[:-1] if e_dead else names
+        names = names[:-1] if tail is not None else names
         trees = [params[n] for n in names]
         structs = {jax.tree_util.tree_structure(t) for t in trees}
         shapes = {tuple(x.shape for x in jax.tree_util.tree_leaves(t))

@@ -111,7 +111,7 @@ def mus_apply(params: dict, graph: Graph, plan, num_fields: int,
         # (ADVICE r3 #1).
         can_skip = level == 1 and fixed_k is not None
         tail = names[-1] if e_dead and can_skip else None
-        names = names[:-1] if e_dead else names
+        names = names[:-1] if tail is not None else names
         trees = [params[n] for n in names]
         structs = {jax.tree_util.tree_structure(t) for t in trees}
         shapes = {tuple(x.shape for x in jax.tree_util.tree_leaves(t))

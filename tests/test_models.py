@@ -312,3 +312,44 @@ def test_mugs_four_scale_forward_padding_invariance(rng):
     valid = np.asarray(b_pad.node_mask)
     np.testing.assert_allclose(p_pad[valid], p_exact, rtol=1e-4, atol=1e-4)
     assert np.isfinite(p_pad).all()
+
+
+def _perturb(params, name):
+    import jax.tree_util as jtu
+    sub = jtu.tree_map(lambda x: x + 0.5, params[name])
+    return {**params, name: sub}
+
+
+def test_every_mus_layer_contributes(rng):
+    """Every arch layer must affect the output — guards against engine
+    plan/peel bugs that silently drop a layer (round-4 regression: the
+    peel condition dropped the last coarse-group layer entirely)."""
+    model = g4c.nn.MuSGNN(arch=mus_arch(2 + 2 + 1, 1), seed=3,
+                          scan_layers=True)
+    batch = build_mus_batch(np.random.default_rng(1), [90], pad=True)
+    g = batch.to_device()
+    base = np.asarray(model.forward(g))
+    for name in model.arch:
+        out = np.asarray(model.apply(_perturb(model.params, name), g))
+        assert np.abs(out - base).max() > 1e-6, f"layer {name} is dead"
+
+
+def test_every_mugs_layer_contributes(rng):
+    model = g4c.nn.MuGSGNN(arch=mugs_arch(2 + 2 + 1 + 1, 1), seed=5,
+                           scan_layers=True)
+    batch = build_mugs_batch(np.random.default_rng(7), [100], pad=True)
+    g = batch.to_device()
+    base = np.asarray(model.forward(g))
+    for name in model.arch:
+        out = np.asarray(model.apply(_perturb(model.params, name), g))
+        assert np.abs(out - base).max() > 1e-6, f"layer {name} is dead"
+
+
+def test_every_remus_layer_contributes(rng):
+    model = g4c.nn.REMuSGNN(arch=remus_arch(), seed=11, scan_layers=True)
+    batch = build_remus_batch(np.random.default_rng(9), [120], pad=True)
+    g = batch.to_device()
+    base = np.asarray(model.forward(g))
+    for name in model.arch:
+        out = np.asarray(model.apply(_perturb(model.params, name), g))
+        assert np.abs(out - base).max() > 1e-6, f"layer {name} is dead"

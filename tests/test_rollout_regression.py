@@ -57,31 +57,38 @@ def test_100_step_rollout_accuracy():
         assert np.isfinite(r2_100)
 
 
-TG_CHK = os.path.join(FIXDIR, "taylor_green_model.chk")
-TG_PINS = os.path.join(FIXDIR, "taylor_green_pins.json")
+TG_FIXTURES = [b for b in ("taylor_green", "taylor_green_ms",
+                           "taylor_green_gmus", "taylor_green_remus")
+               if os.path.exists(os.path.join(FIXDIR, f"{b}_model.chk"))]
 
 
-@pytest.mark.skipif(not os.path.exists(TG_CHK),
-                    reason="no bundled taylor-green checkpoint")
-def test_ns_family_100_step_rollout_accuracy():
-    """NS-family (uvp pipeline) long-horizon regression: the committed
-    Taylor–Green checkpoint must hold its pinned 100-step accuracy."""
+@pytest.mark.parametrize("base", TG_FIXTURES or ["taylor_green"])
+def test_ns_family_100_step_rollout_accuracy(base):
+    """NS-family long-horizon regression gates: every committed
+    Taylor-Green checkpoint (1-scale, multi-scale MuS, gMuS, REMuS) must
+    hold its pinned 100-step accuracy.  The graph build is reconstructed
+    from the pins via the training tool's own ``family_topo``."""
+    if not TG_FIXTURES:
+        pytest.skip("no bundled taylor-green checkpoints")
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "tools"))
-    from train_taylor_green import TaylorGreenNs, SCALING
+    from train_taylor_green import TaylorGreenNs, SCALING, family_topo
     import graphs4cfd_tpu as gfd
-    from graphs4cfd_tpu.utils import Compose
     from graphs4cfd_tpu.loader import collate
     from graphs4cfd_tpu.metrics import r2, rollout_rmse
 
-    pins = json.load(open(TG_PINS))
-    topo = Compose([gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
-                    gfd.transforms.ScaleEdgeAttr(0.04)])
-    scale_ns = gfd.transforms.ScaleNs(SCALING, format="uvp")
+    pins = json.load(open(os.path.join(FIXDIR, f"{base}_pins.json")))
+    fam = pins.get("family", "mus")
+    fmt = "uv" if fam == "remus" else "uvp"
+    topo = family_topo(fam, pins.get("scales", 1), pins.get("cells"))
+    scaling = (SCALING if fmt == "uvp"
+               else {k: v for k, v in SCALING.items() if k != "p"})
+    scale_ns = gfd.transforms.ScaleNs(scaling, format=fmt)
     val_ds = TaylorGreenNs(4, pins["n_nodes"], 4, topo, scale_ns,
-                           seed=99, dt=pins["dt"])
+                           seed=99, dt=pins["dt"], fmt=fmt)
     model_cls = getattr(gfd.nn, pins["model_cls"])
-    model = model_cls(checkpoint=TG_CHK, scan_layers=True)
+    model = model_cls(checkpoint=os.path.join(FIXDIR, f"{base}_model.chk"),
+                      scan_layers=True)
 
     g = val_ds.graph_at(0, 0, 100)
     batch = collate([g], node_bucket=64, edge_bucket=128).to_device()
@@ -89,8 +96,10 @@ def test_ns_family_100_step_rollout_accuracy():
     target = np.asarray(batch.target)
     mask = np.asarray(batch.node_mask)
 
-    r2_50 = r2(pred[mask, 147:150], target[mask, 147:150])
-    r2_100 = r2(pred[mask, 297:300], target[mask, 297:300])
+    nf = val_ds.nf
+    r2_50 = r2(pred[mask, 49 * nf:50 * nf], target[mask, 49 * nf:50 * nf])
+    r2_100 = r2(pred[mask, 99 * nf:100 * nf],
+                target[mask, 99 * nf:100 * nf])
     rmse = rollout_rmse(pred, target, node_mask=mask)
     assert r2_50 >= pins["r2_step50_min"], (r2_50, pins)
     assert r2_100 >= pins["r2_step100_min"], (r2_100, pins)

@@ -202,6 +202,31 @@ MODEL_BY_SCALES_GMUS = {2: "NsTwoGuillardScaleGNN",
                         4: "NsFourGuillardScaleGNN"}
 
 
+def family_topo(fam, scales, cells=None):
+    """Topology-transform pipeline per family — shared between training
+    and the rollout-regression gate (tests/test_rollout_regression.py)
+    so the gate reconstructs the exact training-time graph build."""
+    import graphs4cfd_tpu as gfd
+    from graphs4cfd_tpu.utils import Compose
+    T = gfd.transforms
+    if fam == "mus":
+        return Compose([T.ConnectKNN(6, period=(1.0, 1.0)),
+                        T.ScaleEdgeAttr(0.04)]
+                       + ([T.GridClustering(list(cells))] if cells else []))
+    if fam == "gmus":
+        return Compose([T.GuillardCoarseningAndConnectKNN(
+                            k=[6] * scales, period=(1.0, 1.0),
+                            scale_edge_attr=[0.04 * 2 ** i
+                                             for i in range(scales)]),
+                        T.BuildKnnInterpWeights(6)])
+    assert fam == "remus", fam
+    return Compose([T.BuildRemusGraph(
+                        num_levels=scales, k=5,
+                        scale_edge_length=[0.04 * 2 ** i
+                                           for i in range(scales)]),
+                    T.BuildKnnInterpWeights(5)])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=400)
@@ -259,31 +284,18 @@ def main():
         cells = ([float(c) for c in args.cells.split(",")] if args.cells
                  else [0.08 * 2 ** i for i in range(args.scales - 1)])
         assert len(cells) == args.scales - 1, (cells, args.scales)
-        topo = Compose([gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
-                        gfd.transforms.ScaleEdgeAttr(0.04)]
-                       + ([gfd.transforms.GridClustering(cells)]
-                          if cells else []))
         model_cls_name = MODEL_BY_SCALES[args.scales]
     elif fam == "gmus":
         arch = build_arch_gmus(W, args.depth, args.scales)
-        topo = Compose([gfd.transforms.GuillardCoarseningAndConnectKNN(
-                            k=[6] * args.scales, period=(1.0, 1.0),
-                            scale_edge_attr=[0.04 * 2 ** i
-                                             for i in range(args.scales)]),
-                        gfd.transforms.BuildKnnInterpWeights(6)])
         model_cls_name = MODEL_BY_SCALES_GMUS[args.scales]
     else:
-        arch = build_arch_remus(W, args.depth, args.scales)
         # non-periodic (the reference REMuS workload is NsEllipse point
         # clouds); the analytic fields are defined everywhere, boundary
         # nodes just see one-sided neighbourhoods
-        topo = Compose([gfd.transforms.BuildRemusGraph(
-                            num_levels=args.scales, k=5,
-                            scale_edge_length=[0.04 * 2 ** i
-                                               for i in range(args.scales)]),
-                        gfd.transforms.BuildKnnInterpWeights(5)])
+        arch = build_arch_remus(W, args.depth, args.scales)
         model_cls_name = ("NsRotEquiThreeScaleGNN" if args.scales == 3
                           else "REMuSGNN")
+    topo = family_topo(fam, args.scales, cells)
     scaling = (SCALING if fmt == "uvp"
                else {k: v for k, v in SCALING.items() if k != "p"})
     scale_ns = gfd.transforms.ScaleNs(scaling, format=fmt)
