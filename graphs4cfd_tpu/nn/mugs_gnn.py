@@ -146,7 +146,12 @@ class MuGSGNN(GNN):
 
 # ---- reference class-name aliases (mugs_gnn.py:11,135,297) ---------------
 class NsTwoGuillardScaleGNN(MuGSGNN):
-    PRETRAINED = {"2GS-GNN-NsCircle-v1": "NsMuGSGNN/NsTwoGuillardScaleGNN.chk"}
+    PRETRAINED = {
+        "2GS-GNN-NsCircle-v1": "NsMuGSGNN/NsTwoGuillardScaleGNN.chk",
+        # framework-trained (tools/train_taylor_green.py --family gmus)
+        "2GS-GNN-TaylorGreen-TPU-v1":
+            "NsMuGSGNN/NsTwoGuillardScaleGNN_taylor_green_tpu.chk",
+    }
 
 
 class NsThreeGuillardScaleGNN(MuGSGNN):

@@ -207,7 +207,13 @@ class NsTwoScaleGNN(MuSGNN):
 
 
 class NsThreeScaleGNN(MuSGNN):
-    PRETRAINED = {"3S-GNN-NsCircle-v1": "NsMuSGNN/NsThreeScaleGNN.chk"}
+    PRETRAINED = {
+        "3S-GNN-NsCircle-v1": "NsMuSGNN/NsThreeScaleGNN.chk",
+        # framework-trained 3-scale model on the analytic Taylor–Green NS
+        # demo (tools/train_taylor_green.py --family mus --scales 3)
+        "3S-GNN-TaylorGreen-TPU-v1":
+            "NsMuSGNN/NsThreeScaleGNN_taylor_green_tpu.chk",
+    }
 
 
 class NsFourScaleGNN(MuSGNN):

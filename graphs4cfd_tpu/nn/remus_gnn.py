@@ -194,8 +194,12 @@ class REMuSGNN(GNN):
 
 
 class NsRotEquiThreeScaleGNN(REMuSGNN):
-    PRETRAINED = {"RE3S-GNN-NsEllipse-v1":
-                  "NsREMuSGNN/NsRotEquiThreeScaleGNN.chk"}
+    PRETRAINED = {
+        "RE3S-GNN-NsEllipse-v1": "NsREMuSGNN/NsRotEquiThreeScaleGNN.chk",
+        # framework-trained (tools/train_taylor_green.py --family remus)
+        "RE3S-GNN-TaylorGreen-TPU-v1":
+            "NsREMuSGNN/NsRotEquiThreeScaleGNN_taylor_green_tpu.chk",
+    }
 
 
 # Reference spelling (remus_gnn.py:11) kept as an alias.
