@@ -214,13 +214,17 @@ def family_topo(fam, scales, cells=None):
                         T.ScaleEdgeAttr(0.04)]
                        + ([T.GridClustering(list(cells))] if cells else []))
     if fam == "gmus":
-        return Compose([T.GuillardCoarseningAndConnectKNN(
+        # SpatialSort: Morton order keeps the windowed-MXU gather plans
+        # tight (the w128 fused kernels engage for this family)
+        return Compose([T.SpatialSort(),
+                        T.GuillardCoarseningAndConnectKNN(
                             k=[6] * scales, period=(1.0, 1.0),
                             scale_edge_attr=[0.04 * 2 ** i
                                              for i in range(scales)]),
                         T.BuildKnnInterpWeights(6)])
     assert fam == "remus", fam
-    return Compose([T.BuildRemusGraph(
+    return Compose([T.SpatialSort(),
+                    T.BuildRemusGraph(
                         num_levels=scales, k=5,
                         scale_edge_length=[0.04 * 2 ** i
                                            for i in range(scales)]),
