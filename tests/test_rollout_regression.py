@@ -104,3 +104,40 @@ def test_ns_family_100_step_rollout_accuracy(base):
     assert r2_50 >= pins["r2_step50_min"], (r2_50, pins)
     assert r2_100 >= pins["r2_step100_min"], (r2_100, pins)
     assert rmse <= pins["rollout_rmse_max"], (rmse, pins)
+
+    if fam == "remus":
+        # rotation-equivariance of the TRAINED bundled weights: rotate the
+        # model's inputs (scaled field + cloud), rebuild the topology, and
+        # the output velocities must co-rotate (structural property the
+        # converged parameters must preserve; VERDICT r3 next-#3)
+        import jax.numpy as jnp
+        from graphs4cfd_tpu.graph import Graph
+        from train_taylor_green import tg_fields
+        theta = 117.0
+        model.compute_dtype = jnp.float32
+        pos0, prm, omega0 = val_ds.sims[0]
+
+        def build(rot):
+            gg = Graph()
+            gg.pos = pos0
+            gg.glob = np.full((pins["n_nodes"], 1), val_ds.reynolds(0),
+                              np.float32)
+            gg.field = tg_fields(pos0, 0.0, prm)[:, :2]
+            gg.target = gg.field
+            gg.omega = omega0
+            gg.bound = np.ones(pins["n_nodes"], np.uint8)
+            gg = scale_ns(gg)
+            if rot:
+                gg = gfd.transforms.GraphRotation(theta, eq="ns",
+                                                  format="uv")(gg)
+            return collate([topo(gg)], node_bucket=64, edge_bucket=128)
+
+        b0 = build(False)
+        valid = np.asarray(b0.node_mask)
+        out_plain = np.asarray(model.forward(b0.to_device()))[valid]
+        out_rot = np.asarray(model.forward(build(True).to_device()))[valid]
+        th = np.deg2rad(theta)
+        R = np.array([[np.cos(th), np.sin(th)],
+                      [-np.sin(th), np.cos(th)]])
+        eq_err = float(np.abs(out_rot - out_plain @ R).max())
+        assert eq_err < 5e-3, f"trained REMuS not equivariant: {eq_err}"
