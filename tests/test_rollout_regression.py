@@ -130,7 +130,9 @@ def test_ns_family_100_step_rollout_accuracy(base):
             if rot:
                 gg = gfd.transforms.GraphRotation(theta, eq="ns",
                                                   format="uv")(gg)
-            return collate([topo(gg)], node_bucket=64, edge_bucket=128)
+            eq_topo = family_topo(fam, pins.get("scales", 1),
+                                  pins.get("cells"), spatial_sort=False)
+            return collate([eq_topo(gg)], node_bucket=64, edge_bucket=128)
 
         b0 = build(False)
         valid = np.asarray(b0.node_mask)

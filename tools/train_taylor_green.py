@@ -202,29 +202,34 @@ MODEL_BY_SCALES_GMUS = {2: "NsTwoGuillardScaleGNN",
                         4: "NsFourGuillardScaleGNN"}
 
 
-def family_topo(fam, scales, cells=None):
+def family_topo(fam, scales, cells=None, spatial_sort=True):
     """Topology-transform pipeline per family — shared between training
     and the rollout-regression gate (tests/test_rollout_regression.py)
-    so the gate reconstructs the exact training-time graph build."""
+    so the gate reconstructs the exact training-time graph build.
+
+    ``spatial_sort=False`` drops the Morton reorder — required by the
+    equivariance checks, which compare outputs row-by-row across two
+    builds (rotation changes the Morton order, so sorted builds number
+    the same physical node differently; the model itself is
+    permutation-equivariant, the row comparison is not)."""
     import graphs4cfd_tpu as gfd
     from graphs4cfd_tpu.utils import Compose
     T = gfd.transforms
+    # SpatialSort: Morton order keeps the windowed-MXU gather plans tight
+    # (the w128 fused kernels engage for gMuS/REMuS)
+    sort = [T.SpatialSort()] if spatial_sort else []
     if fam == "mus":
         return Compose([T.ConnectKNN(6, period=(1.0, 1.0)),
                         T.ScaleEdgeAttr(0.04)]
                        + ([T.GridClustering(list(cells))] if cells else []))
     if fam == "gmus":
-        # SpatialSort: Morton order keeps the windowed-MXU gather plans
-        # tight (the w128 fused kernels engage for this family)
-        return Compose([T.SpatialSort(),
-                        T.GuillardCoarseningAndConnectKNN(
+        return Compose(sort + [T.GuillardCoarseningAndConnectKNN(
                             k=[6] * scales, period=(1.0, 1.0),
                             scale_edge_attr=[0.04 * 2 ** i
                                              for i in range(scales)]),
                         T.BuildKnnInterpWeights(6)])
     assert fam == "remus", fam
-    return Compose([T.SpatialSort(),
-                    T.BuildRemusGraph(
+    return Compose(sort + [T.BuildRemusGraph(
                         num_levels=scales, k=5,
                         scale_edge_length=[0.04 * 2 ** i
                                            for i in range(scales)]),
@@ -425,7 +430,7 @@ def main():
             if rot:
                 g = gfd.transforms.GraphRotation(theta, eq="ns",
                                                  format="uv")(g)
-            g = topo(g)
+            g = family_topo(fam, args.scales, spatial_sort=False)(g)
             return collate([g], node_bucket=64, edge_bucket=128)
 
         b0 = build(False)
