@@ -469,3 +469,16 @@ def test_gn_block_fused_wg_skip_e_out(rng, stride, ring, monkeypatch):
                                        rtol=2e-3, atol=5e-4)
     finally:
         g4c_config.use_pallas = old
+
+
+def test_supports_gates_on_lane_aligned_width():
+    """Mosaic rejects window DMAs whose feature width is not a multiple of
+    the 128-lane tile (only on real hardware — interpret mode skips the
+    proof), so ``supports`` must decline narrow tables (round-4: width-64
+    models crashed the TPU compile once the window ladder attached plans
+    on them)."""
+    from graphs4cfd_tpu.ops import pallas_gather as pg
+    assert pg.supports(1024, 512, 256, 64, 128)
+    assert pg.supports(1024, 512, 256, 64, 256)
+    assert not pg.supports(1024, 512, 256, 64, 64)
+    assert not pg.supports(1024, 512, 256, 64, 96)
