@@ -34,7 +34,31 @@ def ablation() -> str:
 kernel_choices: dict = {}
 
 
+#: > 0 → record_choice is a no-op.  collate_sharded runs exploratory
+#: planning rounds whose per-shard attaches would otherwise double-count
+#: (and claim a plan attached even when the consistency check later
+#: discards it); it suppresses recording and reports the final stacked
+#: decision once (ADVICE r4 #2).
+_suppress_depth = 0
+
+
+class suppress_choice_recording:
+    """Context manager: drop record_choice calls inside the block."""
+
+    def __enter__(self):
+        global _suppress_depth
+        _suppress_depth += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _suppress_depth
+        _suppress_depth -= 1
+        return False
+
+
 def record_choice(site: str, choice: str) -> None:
+    if _suppress_depth:
+        return
     key = f"{site}:{choice}"
     kernel_choices[key] = kernel_choices.get(key, 0) + 1
 

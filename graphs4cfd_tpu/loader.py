@@ -90,8 +90,14 @@ def _ladder_windows(window: int, num_nodes: int) -> List[int]:
     the tuned window (the round-3 (256, 64) folded default does on 2-sample
     collates); a wider window always lowers the miss rate, so ladder up
     before giving up — a slightly-wider fused kernel beats the silent XLA
-    fallback every time (BASELINE.md: fused vs unfused ≥ 15 ms)."""
-    w, out = window, []
+    fallback every time (BASELINE.md: fused vs unfused ≥ 15 ms).
+
+    The preferred window is seeded unconditionally (even above the 4096
+    cap, which only bounds the doubling fallbacks): an explicit
+    GRAPHS4CFD_GATHER_WINDOW / ``wg_pref`` override must be attempted
+    once rather than silently dropped to the XLA path."""
+    out = [window]
+    w = window * 2
     while w <= num_nodes and w <= 4096:
         out.append(w)
         w *= 2
@@ -363,10 +369,19 @@ def collate_sharded(graphs: Sequence[Graph], num_shards: int,
     """
     assert len(graphs) % num_shards == 0, \
         f"batch size {len(graphs)} not divisible by {num_shards} shards"
+    from .config import record_choice, suppress_choice_recording
     groups = [list(graphs[i::num_shards]) for i in range(num_shards)]
-    shards = [collate(g, node_bucket, edge_bucket) for g in groups]
+    # per-shard plan attaches (inside collate and the exploratory rounds
+    # below) must not hit the fast-path counters — only the FINAL stacked
+    # decision is recorded, once (ADVICE r4 #2)
+    with suppress_choice_recording():
+        shards = [collate(g, node_bucket, edge_bucket) for g in groups]
     # per-shard gather plans go stale once shards are re-padded below (and
     # their exception buffers may differ in size) — rebuild them afterwards
+    dropped_fold_levels = sorted(
+        {1 if k == "wg_fold_starts" else int(k[len("wg_fold"):-len("_starts")])
+         for k in shards[0].data
+         if k.startswith("wg_fold") and k.endswith("_starts")})
     for s in shards:
         for key in [k for k in s.data
                     if k.startswith("wg_") and k != "wg_pref"]:
@@ -419,37 +434,49 @@ def collate_sharded(graphs: Sequence[Graph], num_shards: int,
     wg_pref = out.get("wg_pref", shards[0].data.get("wg_pref"))
     if fixed_k is not None and "senders" in out:
         num_nodes = out["node_mask"].shape[1]
-        per_shard = []
-        for i in range(num_shards):
-            d = {"senders": out["senders"][i]}
-            _add_window_gather_plan(d, num_nodes, fixed_k, pref=wg_pref)
-            per_shard.append(d)
-        if all("wg_starts" in d for d in per_shard):
-            exc_pad = max(d["wg_exc_pos"].shape[0] for d in per_shard)
-            blk_pad = max(d["wg_exc_lpos"].shape[1] for d in per_shard)
-            # the ladder may have attached different windows per shard; the
-            # stacked plan needs ONE static window, so re-plan every shard
-            # starting at the widest attached window
-            wmax = max(d["wg_window"] for d in per_shard)
-            pb = wg_pref[1] if wg_pref is not None else 128
+        with suppress_choice_recording():
             per_shard = []
             for i in range(num_shards):
                 d = {"senders": out["senders"][i]}
-                _add_window_gather_plan(d, num_nodes, fixed_k,
-                                        exc_pad=exc_pad, blk_pad=blk_pad,
-                                        pref=(wmax, pb))
+                _add_window_gather_plan(d, num_nodes, fixed_k, pref=wg_pref)
                 per_shard.append(d)
-            if (all("wg_starts" in d for d in per_shard)
-                    and len({d["wg_window"] for d in per_shard}) == 1
-                    and len({d["wg_exc_pos"].shape[0]
-                             for d in per_shard}) == 1
-                    and len({d["wg_exc_lpos"].shape[1]
-                             for d in per_shard}) == 1):
-                for key in ("wg_starts", "wg_lidx", "wg_exc_pos",
-                            "wg_exc_idx", "wg_exc_lpos", "wg_exc_nidx"):
-                    out[key] = np.stack([d[key] for d in per_shard], axis=0)
-                out["wg_window"] = per_shard[0]["wg_window"]
-                out["wg_block_rows"] = per_shard[0]["wg_block_rows"]
+            if all("wg_starts" in d for d in per_shard):
+                exc_pad = max(d["wg_exc_pos"].shape[0] for d in per_shard)
+                blk_pad = max(d["wg_exc_lpos"].shape[1] for d in per_shard)
+                # the ladder may have attached different windows per shard;
+                # the stacked plan needs ONE static window, so re-plan every
+                # shard starting at the widest attached window
+                wmax = max(d["wg_window"] for d in per_shard)
+                pb = wg_pref[1] if wg_pref is not None else 128
+                per_shard = []
+                for i in range(num_shards):
+                    d = {"senders": out["senders"][i]}
+                    _add_window_gather_plan(d, num_nodes, fixed_k,
+                                            exc_pad=exc_pad,
+                                            blk_pad=blk_pad,
+                                            pref=(wmax, pb))
+                    per_shard.append(d)
+                if (all("wg_starts" in d for d in per_shard)
+                        and len({d["wg_window"] for d in per_shard}) == 1
+                        and len({d["wg_exc_pos"].shape[0]
+                                 for d in per_shard}) == 1
+                        and len({d["wg_exc_lpos"].shape[1]
+                                 for d in per_shard}) == 1):
+                    for key in ("wg_starts", "wg_lidx", "wg_exc_pos",
+                                "wg_exc_idx", "wg_exc_lpos", "wg_exc_nidx"):
+                        out[key] = np.stack([d[key] for d in per_shard],
+                                            axis=0)
+                    out["wg_window"] = per_shard[0]["wg_window"]
+                    out["wg_block_rows"] = per_shard[0]["wg_block_rows"]
+        # ONE record for the whole sharded batch, reflecting what the
+        # batch actually carries (including the consistency-check discard)
+        record_choice("wg_plan", (f"w{out['wg_window']}"
+                                  if "wg_starts" in out else "none"))
+    # folded plans are shard-collate artifacts that are dropped above and
+    # not rebuilt for the sharded step — surface that instead of letting
+    # the shard collates claim an attach
+    for lvl in dropped_fold_levels:
+        record_choice(f"fold_plan_l{lvl}", "none")
     return Graph(data=out)
 
 
@@ -500,9 +527,21 @@ class DataLoader:
         if self.transform is not None:
             gs = [self.transform(g) for g in gs]
         if self.num_shards:
-            assert self.batch_transform is None, \
-                "batch_transform is incompatible with DP sharding " \
-                "(shared cells would couple shards)"
+            if self.batch_transform is not None:
+                # Documented limitation (README / PARITY.md): the
+                # reference's whole-batch transform semantics
+                # (GridClustering cells shared across ALL samples,
+                # transforms/mus.py:25) cannot be sharded — cells would
+                # couple samples living on different devices.  Under DP
+                # use the per-sample transform instead (the framework
+                # default, e.g. transforms.GridClustering in the
+                # DataLoader ``transform`` pipeline), which is
+                # shard-independent by construction.
+                raise ValueError(
+                    "batch_transform is incompatible with DP sharding "
+                    "(whole-batch shared cells would couple shards); "
+                    "move the transform into the per-sample `transform` "
+                    "pipeline (per-sample clustering) for DP runs")
             return collate_sharded(gs, self.num_shards,
                                    self.node_bucket, self.edge_bucket)
         batch = collate(gs, self.node_bucket, self.edge_bucket)

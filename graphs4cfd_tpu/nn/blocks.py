@@ -177,7 +177,7 @@ def _edge_first_layer(edge_mlp: dict, e, v, senders, receivers,
     return h + lyr["b"].astype(act)
 
 
-def gn_block(params: dict,
+def _gn_block_impl(params: dict,
              v: jnp.ndarray,
              e: jnp.ndarray,
              senders: jnp.ndarray,
@@ -310,6 +310,37 @@ def gn_block(params: dict,
     return v_new, e_new
 
 
+def gn_block(params, v, e, senders, receivers, **kw):
+    """Dispatching GN block; see ``_gn_block_impl`` for semantics.
+
+    LOUD dead-output contract (VERDICT r4 #5): when the caller asserts
+    ``skip_e_out=True`` the returned edge state is ``None`` on EVERY
+    path (fused kernels skip the e' store; the XLA fallback's e' is
+    discarded) — accidental consumption fails at trace time instead of
+    silently reading stale numbers.
+    """
+    v_new, e_new = _gn_block_impl(params, v, e, senders, receivers, **kw)
+    if kw.get("skip_e_out"):
+        from ..config import record_choice
+        record_choice("skip", "gn_e_out")   # trace-time observability
+        return v_new, None
+    return v_new, e_new
+
+
+def edge_mp(params, e, a, angle_src, **kw):
+    """Dispatching EdgeMP; see ``_edge_mp_impl`` for semantics.
+
+    Same loud dead-output contract as ``gn_block``: ``skip_a_out=True``
+    returns ``a' = None`` on every path.
+    """
+    e_new, a_new = _edge_mp_impl(params, e, a, angle_src, **kw)
+    if kw.get("skip_a_out"):
+        from ..config import record_choice
+        record_choice("skip", "edgemp_a_out")
+        return e_new, None
+    return e_new, a_new
+
+
 def down_mp(params: dict,
             field: jnp.ndarray,
             e_rel: jnp.ndarray,
@@ -370,7 +401,7 @@ def up_mp(params: dict,
 
 
 # --------------------------------------------------------------------- REMuS
-def edge_mp(params: dict,
+def _edge_mp_impl(params: dict,
             e: jnp.ndarray,
             a: jnp.ndarray,
             angle_src: jnp.ndarray,

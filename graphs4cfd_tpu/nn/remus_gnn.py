@@ -118,8 +118,13 @@ def remus_apply(params: dict, graph: Graph, plan, num_fields: int = 2,
         # consumer (nothing revisits the level before the decoder): the
         # folded kernel then skips the a′ store and its zero-cotangent
         # backward read (skip_a_out) — peel that layer out of the scan.
-        tail = names[-1] if last_visit else None
-        names = names[:-1] if last_visit else names
+        # Only peel when the folded kernel (the one path that honours
+        # skip_a_out) can actually engage; otherwise the peel just unrolls
+        # a layer out of the scan for zero kernel benefit — larger HLO,
+        # longer remote compile (ADVICE r4 #4, mirrors the mus/mugs gate).
+        can_skip = fplan is not None
+        tail = names[-1] if last_visit and can_skip else None
+        names = names[:-1] if tail is not None else names
         trees = [params[n] for n in names]
         structs = {jax.tree_util.tree_structure(t) for t in trees}
         shapes = {tuple(x.shape for x in jax.tree_util.tree_leaves(t))

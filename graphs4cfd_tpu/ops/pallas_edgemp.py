@@ -616,6 +616,9 @@ def edge_mp_folded(angle_mlp: dict, edge_mlp: dict, a, tab, e, k: int,
                        out_activation == "selu", window, stride,
                        ring, skip_a_out)
     if skip_a_out:
-        return out, a
+        # a′ was never stored (caller asserts it has no consumer); return
+        # None so accidental consumption fails loudly at trace time
+        # (VERDICT r4 #5 — same contract as pallas_gnblock/skip_e_out)
+        return out, None
     a_new, e_new = out
     return e_new, a_new.reshape(E, k, -1)

@@ -991,14 +991,13 @@ def gn_block_fused_wg(edge_mlp: dict, node_mlp: dict, e, vs, v, k: int,
                        interpret, out_activation == "selu", window,
                        stride, zero_tail, ring, skip_e_out)
     if skip_e_out:
-        # e′ has no consumer (caller-asserted): hand the INPUT edge state
-        # back so the (e, v) contract holds; it must be ignored.
-        # CONTRACT (ADVICE r3 #2): the returned edge state is STALE — if
-        # an engine change ever consumes it, results corrupt silently
-        # rather than failing loudly.  Deadness is computed in the engines
+        # e′ has no consumer (caller-asserted): the kernel skipped its
+        # store, so there is nothing true to return — hand back ``None``
+        # (LOUD contract, VERDICT r4 #5 / ADVICE r3 #2): any accidental
+        # consumption fails at trace time instead of silently reading
+        # stale numbers.  Deadness is computed in the engines
         # (mus_gnn/mugs_gnn run_mp_group ``e_dead``/``can_skip``,
-        # remus_gnn ``last_visit``); the rollout_golden fixture and the
-        # family rollout-regression gates are the tripwire for that class
-        # of mistake (they run the full V-cycle against pinned numerics).
-        return e, out
+        # remus_gnn ``last_visit``); ``blocks.gn_block`` enforces the
+        # same contract on every dispatch path.
+        return None, out
     return out

@@ -76,7 +76,10 @@ def build_window_gather_plan(indices: np.ndarray,
     """
     idx = np.asarray(indices, dtype=np.int64).ravel()
     M = idx.shape[0]
-    if M == 0 or M % block_rows or num_rows % 8 or window % 8:
+    # window > num_rows would make the kernel's [start, start+window) DMA
+    # run past the table — reject instead (callers ladder to other sizes)
+    if M == 0 or M % block_rows or num_rows % 8 or window % 8 \
+            or window > num_rows:
         return None
     nblocks = M // block_rows
     blocks = idx.reshape(nblocks, block_rows)

@@ -112,7 +112,7 @@ def test_folded_edgemp_skip_a_out(rng, out_act, stride, ring, monkeypatch):
     if out_act == "selu":
         re_ = jax.nn.selu(re_)
     fe_, fa_ = fold(params, a, e)
-    assert fa_ is a                     # input handed back, not recomputed
+    assert fa_ is None                  # LOUD dead-output contract
     np.testing.assert_allclose(np.asarray(fe_), np.asarray(re_),
                                rtol=1e-4, atol=1e-5)
 

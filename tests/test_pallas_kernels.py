@@ -88,3 +88,42 @@ def test_fused_gn_block_matches_xla(rng, out_act):
                     jax.tree_util.tree_leaves(gf)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=5e-4)
+
+
+def test_skip_e_out_dead_output_is_loud(rng):
+    """LOUD dead-output contract (VERDICT r4 #5): ``skip_e_out=True``
+    returns ``e' = None`` on EVERY dispatch path — here the plain XLA
+    path, where the kernel skip can't even engage — so a caller that
+    accidentally consumes the dead slot fails at trace time instead of
+    silently reading stale state."""
+    V, k, H = 32, 4, 16
+    senders = jnp.asarray(rng.integers(0, V, size=V * k).astype(np.int32))
+    receivers = jnp.asarray(np.repeat(np.arange(V, dtype=np.int32), k))
+    v = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(V * k, H)).astype(np.float32))
+    params = {"edge_mlp": init_mlp(jax.random.key(0), 3 * H, (H, H), True),
+              "node_mlp": init_mlp(jax.random.key(1), 2 * H, (H, H), True)}
+    v2, e2 = blocks.gn_block(params, v, e, senders, receivers, fixed_k=k,
+                             skip_e_out=True)
+    assert e2 is None
+    assert v2.shape == (V, H)
+    # accidental consumption of the dead output must raise, not compute
+    with pytest.raises(TypeError):
+        jnp.concatenate([e2, e2], axis=-1)
+
+
+def test_skip_a_out_dead_output_is_loud(rng):
+    """Same loud contract for EdgeMP's skipped a' (XLA path)."""
+    E, k, H = 24, 3, 16
+    angle_src = jnp.asarray(
+        rng.integers(0, E, size=(E, k)).astype(np.int32))
+    a = jnp.asarray(rng.normal(size=(E, k, 4)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(E, H)).astype(np.float32))
+    params = {"angle_mlp": init_mlp(jax.random.key(0), 4 + 2 * H,
+                                    (H, H), True),
+              "edge_mlp": init_mlp(jax.random.key(1), 2 * H, (H, H), True)}
+    e2, a2 = blocks.edge_mp(params, e, a, angle_src, skip_a_out=True)
+    assert a2 is None
+    assert e2.shape == (E, H)
+    with pytest.raises(TypeError):
+        jax.nn.selu(a2)

@@ -403,3 +403,34 @@ def test_gp_rollout_matches_single_device():
     valid = np.asarray(batch.node_mask)
     np.testing.assert_allclose(unperm[valid], ref[valid],
                                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("family", ["mus", "mugs"])
+def test_gp_skip_counters_match_single_chip(family):
+    """The dead-output elision carries to the graph-parallel path
+    (VERDICT r4 #4): tracing the GP forward records the SAME skip
+    counters as tracing the single-chip forward."""
+    from graphs4cfd_tpu.config import fast_path_report
+
+    if family == "mus":
+        model = g4c.nn.MuSGNN(arch=mus_arch(5, 1), seed=1)
+        batch = collate(_samples(3, [430]), node_bucket=64,
+                        edge_bucket=128)
+    else:
+        model = g4c.nn.MuGSGNN(arch=mugs_arch(6, 1), seed=3)
+        batch = _mugs_batch()
+
+    fast_path_report(reset=True)
+    np.asarray(model.forward(batch.to_device()))
+    single = {k: v for k, v in fast_path_report(reset=True).items()
+              if k.startswith("skip:")}
+    assert single, "single-chip trace recorded no skip counters"
+
+    sharded, _ = partition_graph(batch, 8)
+    mesh = make_mesh(num_data=1, num_graph=8)
+    fwd = make_gp_forward(model, mesh)
+    np.asarray(fwd(model.params, sharded.to_device()))
+    gp = {k: v for k, v in fast_path_report(reset=True).items()
+          if k.startswith("skip:")}
+    assert gp == single, (gp, single)

@@ -449,7 +449,7 @@ def test_gn_block_fused_wg_skip_e_out(rng, stride, ring, monkeypatch):
         wv, we = blocks.gn_block(params, v, e, senders, receivers,
                                 fixed_k=k, out_activation="selu",
                                 window_plan=dp, skip_e_out=True)
-        assert we is e                  # input handed back, not recomputed
+        assert we is None               # LOUD dead-output contract
         np.testing.assert_allclose(np.asarray(wv), np.asarray(rv),
                                    rtol=1e-5, atol=1e-5)
 

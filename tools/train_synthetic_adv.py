@@ -124,6 +124,10 @@ def main():
     ap.add_argument("--depth", type=int, default=2)
     ap.add_argument("--two-scale", action="store_true",
                     help="legacy 2-scale AdvTwoScaleGNN demo arch")
+    ap.add_argument("--tag", type=str, default="",
+                    help="suffix for checkpoint/results/fixture filenames "
+                         "(keeps e.g. the 2-scale run from clobbering the "
+                         "1-scale synthadv fixture)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from ./synthadv.chk if present")
     ap.add_argument("--init-from", type=str, default=None,
@@ -189,9 +193,13 @@ def main():
                             noise_transform=noise_transform)
     val_ds = SyntheticAdv(4, args.n_nodes, n_out_max, topo_transform,
                           seed=99, dt=args.dt)
+    name = f"synthadv{args.tag}"
+    chk = f"./{name}.chk"
+    results_path = ("synthetic_adv_results.json" if not args.tag
+                    else f"{name}_results.json")
     cfg = gfd.nn.TrainConfig(
-        name="synthadv", folder=".", tensor_board=None, chk_interval=10,
-        checkpoint="./synthadv.chk" if args.resume else None,
+        name=name, folder=".", tensor_board=None, chk_interval=10,
+        checkpoint=chk if args.resume else None,
         training_loss=gfd.nn.GraphLoss(), validation_loss=gfd.nn.GraphLoss(),
         epochs=args.epochs,
         num_steps=([int(s) for s in args.stages.split(",")] if args.stages
@@ -208,7 +216,7 @@ def main():
     print(f"params: {model.num_params}", file=sys.stderr)
     t0 = time.time()
     if args.eval_only:
-        model.load_model(checkpoint="./synthadv.chk")
+        model.load_model(checkpoint=chk)
         model.compute_dtype = jnp.bfloat16 if not args.cpu else jnp.float32
     else:
         if args.init_from:
@@ -225,8 +233,17 @@ def main():
         model.compute_dtype = jnp.float32
 
     # ---- long-horizon rollout vs analytic truth ---------------------------
+    # train_time_s accumulates over resume/eval segments so the JSON
+    # reports the checkpoint's real cumulative training cost.
+    prev_time = 0.0
+    if args.resume or args.eval_only:
+        try:
+            with open(results_path) as f:
+                prev_time = float(json.load(f).get("train_time_s", 0.0))
+        except (OSError, ValueError):
+            pass
     n_roll = args.rollout
-    results = {"train_time_s": round(train_time, 1),
+    results = {"train_time_s": round(prev_time + train_time, 1),
                "rollout_steps": n_roll}
     rmses = []
     for sim in range(4):
@@ -249,7 +266,7 @@ def main():
                         r2(pred[mask, s - 1], target[mask, s - 1]), 4)
     results["rollout_rmse_mean4"] = round(float(np.mean(rmses)), 5)
     print(json.dumps(results))
-    with open("synthetic_adv_results.json", "w") as f:
+    with open(results_path, "w") as f:
         json.dump(results, f, indent=1)
 
     if args.pin_fixture:
@@ -259,8 +276,7 @@ def main():
         fixdir = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "tests", "fixtures")
         os.makedirs(fixdir, exist_ok=True)
-        shutil.copy("./synthadv.chk", os.path.join(fixdir,
-                                                   "synthadv_model.chk"))
+        shutil.copy(chk, os.path.join(fixdir, f"{name}_model.chk"))
         pins = {
             "n_nodes": args.n_nodes, "dt": args.dt,
             "two_scale": bool(args.two_scale),
@@ -273,7 +289,7 @@ def main():
                                     4),
             "rollout_rmse_max": round(results["rollout_rmse"] * 1.3, 5),
         }
-        with open(os.path.join(fixdir, "synthadv_pins.json"), "w") as f:
+        with open(os.path.join(fixdir, f"{name}_pins.json"), "w") as f:
             json.dump(pins, f, indent=1)
         print("pinned fixture:", pins)
 

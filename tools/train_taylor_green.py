@@ -382,8 +382,18 @@ def main():
         model.compute_dtype = jnp.float32
 
     # ---- long-horizon rollout vs analytic truth (scaled space) ------------
+    # train_time_s is CUMULATIVE over resume segments (an eval-only pass
+    # adds ~0 but keeps the accumulated total), so the capability JSON
+    # reports the real cost of the checkpoint, not the last segment's.
+    prev_time = 0.0
+    if args.resume or args.eval_only:
+        try:
+            with open(f"{name}_results.json") as f:
+                prev_time = float(json.load(f).get("train_time_s", 0.0))
+        except (OSError, ValueError):
+            pass
     n_roll = args.rollout
-    results = {"train_time_s": round(train_time, 1),
+    results = {"train_time_s": round(prev_time + train_time, 1),
                "rollout_steps": n_roll}
     rmses = []
     for sim in range(4):
