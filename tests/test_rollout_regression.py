@@ -13,13 +13,23 @@ import numpy as np
 import pytest
 
 FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
-CHK = os.path.join(FIXDIR, "synthadv_model.chk")
-PINS = os.path.join(FIXDIR, "synthadv_pins.json")
+
+# every bundled synthadv fixture (the 1-scale "synthadv" plus tagged
+# multi-scale runs like "synthadv_2s") arms its own gate
+ADV_FIXTURES = sorted(
+    f[:-len("_model.chk")] for f in os.listdir(FIXDIR)
+    if f.startswith("synthadv") and f.endswith("_model.chk")
+    and os.path.exists(os.path.join(FIXDIR, f[:-len("_model.chk")]
+                                    + "_pins.json"))
+) if os.path.isdir(FIXDIR) else []
 
 
-@pytest.mark.skipif(not os.path.exists(CHK),
-                    reason="no bundled synthadv checkpoint")
-def test_100_step_rollout_accuracy():
+@pytest.mark.skipif(not ADV_FIXTURES, reason="no bundled synthadv "
+                                             "checkpoint")
+@pytest.mark.parametrize("base", ADV_FIXTURES or ["synthadv"])
+def test_100_step_rollout_accuracy(base):
+    CHK = os.path.join(FIXDIR, f"{base}_model.chk")
+    PINS = os.path.join(FIXDIR, f"{base}_pins.json")
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "tools"))
     from train_synthetic_adv import SyntheticAdv
@@ -29,10 +39,11 @@ def test_100_step_rollout_accuracy():
     from graphs4cfd_tpu.metrics import r2, rollout_rmse
 
     pins = json.load(open(PINS))
+    cells = pins.get("cells") or ([0.1] if pins.get("two_scale") else [])
     tr = Compose([gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
                   gfd.transforms.ScaleEdgeAttr(0.04)]
-                 + ([gfd.transforms.GridClustering([0.1])]
-                    if pins.get("two_scale") else []))
+                 + ([gfd.transforms.GridClustering(list(cells))]
+                    if cells else []))
     val_ds = SyntheticAdv(4, pins["n_nodes"], 4, tr, seed=99,
                           dt=pins["dt"])
     model_cls = getattr(gfd.nn, pins["model_cls"])

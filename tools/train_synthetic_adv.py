@@ -123,7 +123,15 @@ def main():
     # deep configs train with ~250k steps — 100x this demo's budget).
     ap.add_argument("--depth", type=int, default=2)
     ap.add_argument("--two-scale", action="store_true",
-                    help="legacy 2-scale AdvTwoScaleGNN demo arch")
+                    help="legacy alias for --scales 2")
+    ap.add_argument("--scales", type=int, default=None,
+                    choices=(1, 2, 3, 4),
+                    help="MuS V-cycle depth (AdvOne..FourScaleGNN); the "
+                         "multi-scale archs follow the reference layer "
+                         "naming (mus_gnn.py:639-1052)")
+    ap.add_argument("--cells", type=str, default=None,
+                    help="comma-separated GridClustering cell sizes "
+                         "(default 0.1[,0.2[,0.4]] per --scales)")
     ap.add_argument("--tag", type=str, default="",
                     help="suffix for checkpoint/results/fixture filenames "
                          "(keeps e.g. the 2-scale run from clobbering the "
@@ -161,29 +169,21 @@ def main():
     from graphs4cfd_tpu.metrics import r2, rollout_rmse
 
     W = args.width
-    mp = ((W + 2 * W, (W, W, W), True), (W + W, (W, W, W), True))
-    if args.two_scale:
-        arch = {
-            "edge_encoder": (2, (W, W, W), False),
-            "node_encoder": (4, (W, W, W), False),
-            "mp111": mp, "mp112": mp,
-            "down_mp12": (2 + W, (W, W, W), True),
-            "mp21": mp, "mp22": mp, "mp23": mp, "mp24": mp,
-            "up_mp21": (2 + W + W, (W, W, W), True),
-            "mp121": mp, "mp122": mp,
-            "decoder": (W, (W, W, 1), False),
-        }
-    else:
-        arch = {
-            "edge_encoder": (2, (W, W, W), False),
-            "node_encoder": (4, (W, W, W), False),
-            **{f"mp1{i}": mp for i in range(1, args.depth + 1)},
-            "decoder": (W, (W, W, 1), False),
-        }
+    scales = args.scales if args.scales else (2 if args.two_scale else 1)
+    # same V-cycle arch builder as the TG tool (reference layer naming);
+    # advection differs only in the node input (field 1 + loc 2 + omega 1)
+    # and the scalar decoder (mus_gnn.py:639-742)
+    from train_taylor_green import build_arch
+    arch = build_arch(W, args.depth, scales)
+    arch["node_encoder"] = (4, (W, W, W), False)
+    arch["decoder"] = (W, (W, W, 1), False)
+    cells = ([float(c) for c in args.cells.split(",")] if args.cells
+             else [0.1 * 2 ** i for i in range(scales - 1)])
+    assert len(cells) == scales - 1, (cells, scales)
     topo_transform = Compose(
         [gfd.transforms.ConnectKNN(6, period=(1.0, 1.0)),
          gfd.transforms.ScaleEdgeAttr(0.04)]
-        + ([gfd.transforms.GridClustering([0.1])] if args.two_scale
+        + ([gfd.transforms.GridClustering(cells)] if scales > 1
            else []))
     noise_transform = (gfd.transforms.AddUniformNoise(args.noise, seed=1)
                        if args.noise > 0 else None)
@@ -209,8 +209,9 @@ def main():
         scheduler={"factor": 0.5, "patience": args.patience,
                    "loss": "training"},
         stopping=1e-8, mixed_precision=not args.cpu)
-    cls = gfd.nn.AdvTwoScaleGNN if args.two_scale else gfd.nn.AdvOneScaleGNN
-    model = cls(
+    cls_name = {1: "AdvOneScaleGNN", 2: "AdvTwoScaleGNN",
+                3: "AdvThreeScaleGNN", 4: "AdvFourScaleGNN"}[scales]
+    model = getattr(gfd.nn, cls_name)(
         arch=arch, scan_layers=True,
         compute_dtype=jnp.bfloat16 if not args.cpu else jnp.float32)
     print(f"params: {model.num_params}", file=sys.stderr)
@@ -279,9 +280,9 @@ def main():
         shutil.copy(chk, os.path.join(fixdir, f"{name}_model.chk"))
         pins = {
             "n_nodes": args.n_nodes, "dt": args.dt,
-            "two_scale": bool(args.two_scale),
-            "model_cls": ("AdvTwoScaleGNN" if args.two_scale
-                          else "AdvOneScaleGNN"),
+            "two_scale": scales == 2,      # legacy gate key
+            "scales": scales, "cells": cells,
+            "model_cls": cls_name,
             # pinned with slack for CPU-vs-TPU numerics drift over the
             # autoregressive horizon
             "r2_step50_min": round(results.get("r2_step50", 0.0) - 0.1, 4),
