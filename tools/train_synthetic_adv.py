@@ -143,6 +143,12 @@ def main():
                          "with a fresh optimiser/scheduler at --lr (for "
                          "noise/horizon fine-tuning a converged model whose "
                          "plateau lr has decayed to the floor)")
+    ap.add_argument("--init-partial", type=str, default=None,
+                    help="copy parameter subtrees whose arch-dict name AND "
+                         "leaf shapes match from this checkpoint (e.g. "
+                         "encoders/decoder of the converged 1-scale into a "
+                         "multi-scale model, whose mp-layer names differ) — "
+                         "an identity-well escape aid for deep V-cycles")
     ap.add_argument("--stages", type=str, default=None,
                     help="comma-separated curriculum num_steps override "
                          "(e.g. '10' to train at the top horizon only — "
@@ -223,6 +229,24 @@ def main():
         if args.init_from:
             model.load_model(checkpoint=args.init_from)
             print(f"warm-started weights from {args.init_from}",
+                  file=sys.stderr)
+        if args.init_partial:
+            import jax
+            from graphs4cfd_tpu.training.checkpoint import load_checkpoint
+            src = load_checkpoint(args.init_partial)["weights"]
+            copied = []
+            for kname, sub in src.items():
+                if kname not in model.params:
+                    continue
+                a = jax.tree_util.tree_leaves(model.params[kname])
+                b = jax.tree_util.tree_leaves(sub)
+                if len(a) == len(b) and all(
+                        tuple(x.shape) == tuple(np.asarray(y).shape)
+                        for x, y in zip(a, b)):
+                    model.params[kname] = jax.tree_util.tree_map(
+                        jnp.asarray, sub)
+                    copied.append(kname)
+            print(f"partial warm-start from {args.init_partial}: {copied}",
                   file=sys.stderr)
         train_loader = DataLoader(train_ds, batch_size=8, shuffle=True,
                                   node_bucket=1024 * 8, edge_bucket=1024)
