@@ -40,3 +40,45 @@ def test_forward_records_kernel_choices(rng):
     model.forward(batch.to_device())
     rep = g4c_config.fast_path_report()
     assert any(k.startswith("gn_block:") for k in rep), rep
+
+
+def test_collate_sharded_records_final_decision_once(rng):
+    """collate_sharded suppresses the per-shard/exploratory plan records
+    and reports ONE final wg_plan entry reflecting what the sharded batch
+    actually carries (ADVICE r4 #2)."""
+    from graphs4cfd_tpu.loader import collate_sharded
+    from graphs4cfd_tpu.utils import Compose
+
+    def cloud(n):
+        g = Graph()
+        g.pos = rng.random((n, 2)).astype(np.float32)
+        g.field = rng.normal(size=(n, 1)).astype(np.float32)
+        g.target = rng.normal(size=(n, 2)).astype(np.float32)
+        g.omega = np.zeros((n, 1), np.float32)
+        g.bound = np.ones(n, np.uint8)
+        return g
+
+    tf = Compose([T.SpatialSort(), T.ConnectKNN(4, period=(1.0, 1.0)),
+                  T.ScaleEdgeAttr(0.05)])
+    gs = [tf(cloud(600)) for _ in range(4)]
+    g4c_config.fast_path_report(reset=True)
+    batch = collate_sharded(gs, 2, node_bucket=64, edge_bucket=128)
+    rep = g4c_config.fast_path_report(reset=True)
+    wg = {k: v for k, v in rep.items() if k.startswith("wg_plan:")}
+    assert sum(wg.values()) == 1, rep          # exactly one record
+    # and the record matches the batch contents
+    if "wg_starts" in batch.data:
+        assert wg == {f"wg_plan:w{batch.data['wg_window']}": 1}, (wg, rep)
+    else:
+        assert wg == {"wg_plan:none": 1}, (wg, rep)
+
+
+def test_suppress_choice_recording_nests():
+    g4c_config.fast_path_report(reset=True)
+    with g4c_config.suppress_choice_recording():
+        g4c_config.record_choice("x", "a")
+        with g4c_config.suppress_choice_recording():
+            g4c_config.record_choice("x", "b")
+        g4c_config.record_choice("x", "c")
+    g4c_config.record_choice("x", "d")
+    assert g4c_config.fast_path_report(reset=True) == {"x:d": 1}
