@@ -254,7 +254,8 @@ def _gn_block_impl(params: dict,
                             params["edge_mlp"], params["node_mlp"], e,
                             vsg, v, fixed_k, compute_dtype=cd,
                             interpret=interpret,
-                            out_activation=out_activation)
+                            out_activation=out_activation,
+                            skip_e_out=skip_e_out)
                     return v_new, e_new
                 if (not ablation()
                         and pg.supports_wg(window_plan, num_nodes,
@@ -276,7 +277,7 @@ def _gn_block_impl(params: dict,
                 e_new, v_new = pg.gn_block_fused(
                     params["edge_mlp"], params["node_mlp"], e, vsg, v,
                     fixed_k, compute_dtype=cd, interpret=interpret,
-                    out_activation=out_activation)
+                    out_activation=out_activation, skip_e_out=skip_e_out)
                 return v_new, e_new
     from ..config import record_choice as _rec
     _rec("gn_block", "unfused")
@@ -508,8 +509,10 @@ def _edge_mp_impl(params: dict,
                     params["angle_mlp"], params["edge_mlp"],
                     a.reshape(E * k, fa), asg, e, k,
                     compute_dtype=cd, interpret=interpret,
-                    out_activation=out_activation)
-                return e_new, a_new.reshape(E, k, -1)
+                    out_activation=out_activation,
+                    skip_e_out=skip_a_out)
+                return e_new, (None if skip_a_out
+                               else a_new.reshape(E, k, -1))
 
     # XLA path: fused first angle layer Wa@a + (e@Ws)[angle_src] + (e@Wr)
     # broadcast — sender/receiver projections once per edge, not per angle
@@ -575,11 +578,13 @@ def down_edge_mp(params: dict,
                            fa, fc, k):
                 asg = gather_src().reshape(Ec * k, -1)
                 interpret = jax.default_backend() != "tpu"
+                # the updated inter-level angles are never consumed —
+                # always skip their [Ec*k, H] store + zero-cotangent read
                 _, e_new = pg.gn_block_fused(
                     params["angle_mlp"], params["edge_mlp"],
                     a12.reshape(Ec * k, fa), asg, e_coarse, k,
                     compute_dtype=cd, interpret=interpret,
-                    out_activation=out_activation)
+                    out_activation=out_activation, skip_e_out=True)
                 return e_new
     h = (a12.astype(cd) @ wa).astype(act)
     h = h + gather_src()

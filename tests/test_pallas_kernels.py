@@ -127,3 +127,44 @@ def test_skip_a_out_dead_output_is_loud(rng):
     assert e2.shape == (E, H)
     with pytest.raises(TypeError):
         jax.nn.selu(a2)
+
+
+@pytest.mark.parametrize("out_act", [None, "selu"])
+def test_gn_block_fused_skip_e_out_grads(rng, out_act):
+    """skip_e_out on the PLAIN fused kernel (no window plan): v' and all
+    input grads equal the two-output path under a zero e' cotangent.
+    This is the path the GP fallbacks and down_edge_mp ride."""
+    V, k, H = 256, 4, 128
+    e = jnp.asarray(rng.normal(size=(V * k, H)).astype(np.float32))
+    vsg = jnp.asarray(rng.normal(size=(V * k, H)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(V, H)).astype(np.float32))
+    params = {"edge_mlp": init_mlp(jax.random.key(0), 3 * H, (H, H, H),
+                                   True),
+              "node_mlp": init_mlp(jax.random.key(1), 2 * H, (H, H, H),
+                                   True)}
+
+    def run(skip):
+        return gn_block_fused(params["edge_mlp"], params["node_mlp"], e,
+                              vsg, v, k, interpret=True, block=128,
+                              out_activation=out_act, skip_e_out=skip)
+
+    re_, rv = run(False)
+    se, sv = run(True)
+    assert se is None
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(rv),
+                               rtol=1e-5, atol=1e-5)
+
+    g_v = jnp.asarray(rng.normal(size=rv.shape).astype(np.float32))
+
+    def loss(skip, e, vsg, v):
+        _, av = gn_block_fused(params["edge_mlp"], params["node_mlp"], e,
+                               vsg, v, k, interpret=True, block=128,
+                               out_activation=out_act, skip_e_out=skip)
+        return (av * g_v).sum()
+
+    gr = jax.grad(loss, argnums=(1, 2, 3))(False, e, vsg, v)
+    gs = jax.grad(loss, argnums=(1, 2, 3))(True, e, vsg, v)
+    for a, b in zip(jax.tree_util.tree_leaves(gr),
+                    jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=5e-4)
