@@ -45,7 +45,8 @@ def test_100_step_rollout_accuracy(base):
                  + ([gfd.transforms.GridClustering(list(cells))]
                     if cells else []))
     val_ds = SyntheticAdv(4, pins["n_nodes"], 4, tr, seed=99,
-                          dt=pins["dt"])
+                          dt=pins["dt"],
+                          vel_max=pins.get("vel_max", 0.3))
     model_cls = getattr(gfd.nn, pins["model_cls"])
     model = model_cls(checkpoint=CHK, scan_layers=True)
 

@@ -42,7 +42,7 @@ class SyntheticAdv:
     """
 
     def __init__(self, n_sims, n_nodes, n_out, transform, seed=0, T=60,
-                 dt=0.01, noise_transform=None):
+                 dt=0.01, noise_transform=None, vel_max=0.3):
         self.n_sims, self.n_nodes, self.T, self.dt = n_sims, n_nodes, T, dt
         self.n_out = n_out
         self.transform = transform
@@ -53,7 +53,12 @@ class SyntheticAdv:
         for i in range(n_sims):
             r = np.random.default_rng(seed * 1000 + i)
             pos = r.random((n_nodes, 2)).astype(np.float32)
-            vel = r.uniform(-0.3, 0.3, size=2).astype(np.float32)
+            # vel_max sets the per-step CFL number |v|·dt / h (h ≈ mean
+            # node spacing): the default 0.3 keeps displacement under one
+            # k-NN hop — solvable by a shallow 1-scale; larger vel_max
+            # forces information to cross several hops per step, the
+            # regime the paper's multi-scale V-cycle exists for
+            vel = r.uniform(-vel_max, vel_max, size=2).astype(np.float32)
             modes = [(int(r.integers(1, 4)), int(r.integers(1, 4)),
                       r.uniform(0.2, 0.5), r.uniform(0, 2 * np.pi))
                      for _ in range(3)]
@@ -105,6 +110,11 @@ def main():
     ap.add_argument("--rollout", type=int, default=50)
     ap.add_argument("--patience", type=int, default=40)
     ap.add_argument("--dt", type=float, default=0.05)
+    ap.add_argument("--vel-max", type=float, default=0.3,
+                    help="advection speed bound; 0.3 keeps per-step "
+                         "displacement under one k-NN hop (local regime), "
+                         "~1.0 forces multi-hop transport per step (the "
+                         "multi-scale regime)")
     ap.add_argument("--lr", type=float, default=1e-3)
     # the residual update is small vs the field, so training starts in an
     # identity-map well; the curriculum must HOLD at n_out=1 until the
@@ -196,9 +206,10 @@ def main():
     n_out_max = args.nmax
     train_ds = SyntheticAdv(args.sims, args.n_nodes, n_out_max,
                             topo_transform, seed=1, dt=args.dt,
-                            noise_transform=noise_transform)
+                            noise_transform=noise_transform,
+                            vel_max=args.vel_max)
     val_ds = SyntheticAdv(4, args.n_nodes, n_out_max, topo_transform,
-                          seed=99, dt=args.dt)
+                          seed=99, dt=args.dt, vel_max=args.vel_max)
     name = f"synthadv{args.tag}"
     chk = f"./{name}.chk"
     results_path = ("synthetic_adv_results.json" if not args.tag
@@ -306,6 +317,7 @@ def main():
             "n_nodes": args.n_nodes, "dt": args.dt,
             "two_scale": scales == 2,      # legacy gate key
             "scales": scales, "cells": cells,
+            "vel_max": args.vel_max,
             "model_cls": cls_name,
             # pinned with slack for CPU-vs-TPU numerics drift over the
             # autoregressive horizon
