@@ -231,7 +231,14 @@ class AdvOneScaleGNN(MuSGNN):
 
 
 class AdvTwoScaleGNN(MuSGNN):
-    PRETRAINED = {"2S-GNN-UniformAdv-v1": "AdvMuSGNN/AdvTwoScaleGNN.chk"}
+    PRETRAINED = {
+        "2S-GNN-UniformAdv-v1": "AdvMuSGNN/AdvTwoScaleGNN.chk",
+        # framework-trained on the *fast* analytic advection demo
+        # (tools/train_synthetic_adv.py --scales 2 --vel-max 2.0 — the
+        # multi-hop-per-step regime the multi-scale V-cycle exists for)
+        "2S-GNN-SynthAdv-TPU-v1":
+            "AdvMuSGNN/AdvTwoScaleGNN_synthadv_tpu.chk",
+    }
 
 
 class AdvThreeScaleGNN(MuSGNN):
