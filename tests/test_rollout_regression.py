@@ -14,11 +14,12 @@ import pytest
 
 FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
 
-# every bundled synthadv fixture (the 1-scale "synthadv" plus tagged
-# multi-scale runs like "synthadv_2s") arms its own gate
+# every bundled synthadv/synthwave fixture (the 1-scale "synthadv" plus
+# tagged multi-scale runs like "synthadv_2s" and the wave-equation
+# global-coupling testbed "synthwave_*") arms its own gate
 ADV_FIXTURES = sorted(
     f[:-len("_model.chk")] for f in os.listdir(FIXDIR)
-    if f.startswith("synthadv") and f.endswith("_model.chk")
+    if f.startswith(("synthadv", "synthwave")) and f.endswith("_model.chk")
     and os.path.exists(os.path.join(FIXDIR, f[:-len("_model.chk")]
                                     + "_pins.json"))
 ) if os.path.isdir(FIXDIR) else []
@@ -32,7 +33,7 @@ def test_100_step_rollout_accuracy(base):
     PINS = os.path.join(FIXDIR, f"{base}_pins.json")
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "tools"))
-    from train_synthetic_adv import SyntheticAdv
+    from train_synthetic_adv import SyntheticAdv, SyntheticWave
     import graphs4cfd_tpu as gfd
     from graphs4cfd_tpu.utils import Compose
     from graphs4cfd_tpu.loader import collate
@@ -44,9 +45,14 @@ def test_100_step_rollout_accuracy(base):
                   gfd.transforms.ScaleEdgeAttr(0.04)]
                  + ([gfd.transforms.GridClustering(list(cells))]
                     if cells else []))
-    val_ds = SyntheticAdv(4, pins["n_nodes"], 4, tr, seed=99,
-                          dt=pins["dt"],
-                          vel_max=pins.get("vel_max", 0.3))
+    if pins.get("problem", "adv") == "wave":
+        val_ds = SyntheticWave(4, pins["n_nodes"], 4, tr, seed=99,
+                               dt=pins["dt"],
+                               wave_c=pins.get("wave_c", 2.4))
+    else:
+        val_ds = SyntheticAdv(4, pins["n_nodes"], 4, tr, seed=99,
+                              dt=pins["dt"],
+                              vel_max=pins.get("vel_max", 0.3))
     model_cls = getattr(gfd.nn, pins["model_cls"])
     model = model_cls(checkpoint=CHK, scan_layers=True)
 

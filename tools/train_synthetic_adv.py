@@ -30,6 +30,95 @@ def field_fn(pos, t, vel, modes):
     return out.astype(np.float32)
 
 
+def wave_field_fn(pos, t, modes, c):
+    """Analytic standing-wave field: sum of modes of the 2-D wave equation
+    ``u_tt = c²Δu`` on the unit torus, ``u = Σ amp·sin(2π k·x + φ)·
+    cos(2π c|k| t + ψ)`` — an exact solution for any mode set."""
+    out = np.zeros((pos.shape[0], 1), np.float32)
+    for (kx, ky, amp, ph_x, ph_t) in modes:
+        sp = np.sin(2 * np.pi * (kx * pos[:, 0:1] + ky * pos[:, 1:2]) + ph_x)
+        out += amp * sp * np.cos(2 * np.pi * c * np.hypot(kx, ky) * t + ph_t)
+    return out.astype(np.float32)
+
+
+class SyntheticWave:
+    """Analytic wave-equation dataset — the *global-coupling* testbed.
+
+    The per-step map is ``u(t+dt) = A∗u(t) − u(t−dt)`` with ``A`` the wave
+    propagator kernel ``2·cos(2π c|k| dt)`` in mode space — spatially a
+    light-cone ring of radius ``c·dt``.  With ``c·dt`` several k-NN hops,
+    the true one-step operator is NONLOCAL: a shallow 1-scale GNN
+    architecturally cannot represent it, while a multi-scale V-cycle's
+    coarse level can.  This is the analytic analogue of the global
+    pressure coupling the reference paper invokes for its multi-scale
+    claim (README.md:18-23; mus_gnn.py:221-373) — unlike advection or
+    Taylor–Green, which are local-transport problems.  The field keeps
+    O(1) variance forever (no decay), so 100-step r² stays meaningful.
+
+    Node input is the 2-step history window ``[u(t−dt), u(t)]``
+    (``n_in = 2`` in reference terms, datasets.py:36-63); rollout rolls
+    the window by ``num_fields`` exactly like the reference's
+    ``shift_and_replace``.
+    """
+
+    def __init__(self, n_sims, n_nodes, n_out, transform, seed=0, T=60,
+                 dt=0.05, noise_transform=None, wave_c=2.4):
+        self.n_sims, self.n_nodes, self.T, self.dt = n_sims, n_nodes, T, dt
+        self.n_out = n_out
+        self.transform = transform
+        self.noise_transform = noise_transform
+        self.wave_c = wave_c
+        self.rng = np.random.default_rng(seed)
+        self.sims = []
+        self._base = [None] * n_sims
+        for i in range(n_sims):
+            r = np.random.default_rng(seed * 1000 + i)
+            pos = r.random((n_nodes, 2)).astype(np.float32)
+            modes = [(int(r.integers(1, 4)), int(r.integers(1, 4)),
+                      r.uniform(0.2, 0.5), r.uniform(0, 2 * np.pi),
+                      r.uniform(0, 2 * np.pi))
+                     for _ in range(3)]
+            self.sims.append((pos, modes))
+
+    def __len__(self):
+        return self.n_sims
+
+    def _base_graph(self, i):
+        from graphs4cfd_tpu.graph import Graph
+        if self._base[i] is None:
+            pos, modes = self.sims[i]
+            g = Graph()
+            g.pos = pos
+            u0 = wave_field_fn(pos, 0.0, modes, self.wave_c)
+            g.field = np.concatenate([u0, u0], axis=1)
+            g.target = u0
+            g.omega = np.zeros((self.n_nodes, 1), np.float32)
+            g.bound = np.ones(self.n_nodes, np.uint8)  # periodic everywhere
+            self._base[i] = self.transform(g)
+        return self._base[i]
+
+    def graph_at(self, i, t0, n_out):
+        """Window starting at sim time ``t0·dt``: field is the 2-step
+        history ``[u(t0), u(t0+1)]``, targets ``u(t0+2) …``."""
+        pos, modes = self.sims[i]
+        base = self._base_graph(i)
+        f = wave_field_fn
+        return base.replace(
+            field=np.concatenate(
+                [f(pos, t0 * self.dt, modes, self.wave_c),
+                 f(pos, (t0 + 1) * self.dt, modes, self.wave_c)], axis=1),
+            target=np.concatenate(
+                [f(pos, (t0 + 2 + j) * self.dt, modes, self.wave_c)
+                 for j in range(n_out)], axis=1))
+
+    def __getitem__(self, i):
+        t0 = int(self.rng.integers(0, self.T - self.n_out - 2))
+        g = self.graph_at(i, t0, self.n_out)
+        if self.noise_transform is not None:
+            g = self.noise_transform(g)
+        return g
+
+
 class SyntheticAdv:
     """Analytic advection dataset in the framework's Graph format.
 
@@ -115,6 +204,16 @@ def main():
                          "displacement under one k-NN hop (local regime), "
                          "~1.0 forces multi-hop transport per step (the "
                          "multi-scale regime)")
+    ap.add_argument("--problem", choices=("adv", "wave"), default="adv",
+                    help="analytic testbed: 'adv' = constant-velocity "
+                         "advection (hyperbolic, LOCAL per-step map); "
+                         "'wave' = 2-D wave equation (per-step propagator "
+                         "is a light-cone ring of radius c·dt — NONLOCAL, "
+                         "the regime the multi-scale V-cycle exists for)")
+    ap.add_argument("--wave-c", type=float, default=2.4,
+                    help="wave speed; c·dt sets the per-step light-cone "
+                         "radius (2.4 × dt 0.05 = 0.12 ≈ 3.8 k-NN hops at "
+                         "1024 nodes)")
     ap.add_argument("--lr", type=float, default=1e-3)
     # the residual update is small vs the field, so training starts in an
     # identity-map well; the curriculum must HOLD at n_out=1 until the
@@ -191,7 +290,11 @@ def main():
     # and the scalar decoder (mus_gnn.py:639-742)
     from train_taylor_green import build_arch
     arch = build_arch(W, args.depth, scales)
-    arch["node_encoder"] = (4, (W, W, W), False)
+    # node input: adv = field(1) + loc(2) + omega(1); wave = the 2-step
+    # history window (n_in=2) + omega(1) — no velocity input, the dynamics
+    # live entirely in the field history
+    arch["node_encoder"] = ((4 if args.problem == "adv" else 3),
+                            (W, W, W), False)
     arch["decoder"] = (W, (W, W, 1), False)
     cells = ([float(c) for c in args.cells.split(",")] if args.cells
              else [0.1 * 2 ** i for i in range(scales - 1)])
@@ -204,15 +307,25 @@ def main():
     noise_transform = (gfd.transforms.AddUniformNoise(args.noise, seed=1)
                        if args.noise > 0 else None)
     n_out_max = args.nmax
-    train_ds = SyntheticAdv(args.sims, args.n_nodes, n_out_max,
-                            topo_transform, seed=1, dt=args.dt,
-                            noise_transform=noise_transform,
-                            vel_max=args.vel_max)
-    val_ds = SyntheticAdv(4, args.n_nodes, n_out_max, topo_transform,
-                          seed=99, dt=args.dt, vel_max=args.vel_max)
-    name = f"synthadv{args.tag}"
+    if args.problem == "wave":
+        train_ds = SyntheticWave(args.sims, args.n_nodes, n_out_max,
+                                 topo_transform, seed=1, dt=args.dt,
+                                 noise_transform=noise_transform,
+                                 wave_c=args.wave_c)
+        val_ds = SyntheticWave(4, args.n_nodes, n_out_max, topo_transform,
+                               seed=99, dt=args.dt, wave_c=args.wave_c)
+    else:
+        train_ds = SyntheticAdv(args.sims, args.n_nodes, n_out_max,
+                                topo_transform, seed=1, dt=args.dt,
+                                noise_transform=noise_transform,
+                                vel_max=args.vel_max)
+        val_ds = SyntheticAdv(4, args.n_nodes, n_out_max, topo_transform,
+                              seed=99, dt=args.dt, vel_max=args.vel_max)
+    prefix = "synthadv" if args.problem == "adv" else "synthwave"
+    name = f"{prefix}{args.tag}"
     chk = f"./{name}.chk"
-    results_path = ("synthetic_adv_results.json" if not args.tag
+    results_path = ("synthetic_adv_results.json"
+                    if not args.tag and args.problem == "adv"
                     else f"{name}_results.json")
     cfg = gfd.nn.TrainConfig(
         name=name, folder=".", tensor_board=None, chk_interval=10,
@@ -317,7 +430,9 @@ def main():
             "n_nodes": args.n_nodes, "dt": args.dt,
             "two_scale": scales == 2,      # legacy gate key
             "scales": scales, "cells": cells,
+            "problem": args.problem,
             "vel_max": args.vel_max,
+            "wave_c": args.wave_c,
             "model_cls": cls_name,
             # pinned with slack for CPU-vs-TPU numerics drift over the
             # autoregressive horizon
