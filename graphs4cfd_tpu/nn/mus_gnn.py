@@ -203,7 +203,13 @@ class NsOneScaleGNN(MuSGNN):
 
 
 class NsTwoScaleGNN(MuSGNN):
-    PRETRAINED = {"2S-GNN-NsCircle-v1": "NsMuSGNN/NsTwoScaleGNN.chk"}
+    PRETRAINED = {
+        "2S-GNN-NsCircle-v1": "NsMuSGNN/NsTwoScaleGNN.chk",
+        # framework-trained 2-scale model on the analytic Taylor–Green NS
+        # demo (tools/train_taylor_green.py --family mus --scales 2)
+        "2S-GNN-TaylorGreen-TPU-v1":
+            "NsMuSGNN/NsTwoScaleGNN_taylor_green_tpu.chk",
+    }
 
 
 class NsThreeScaleGNN(MuSGNN):

@@ -75,9 +75,14 @@ def test_100_step_rollout_accuracy(base):
         assert np.isfinite(r2_100)
 
 
-TG_FIXTURES = [b for b in ("taylor_green", "taylor_green_ms",
-                           "taylor_green_gmus", "taylor_green_remus")
-               if os.path.exists(os.path.join(FIXDIR, f"{b}_model.chk"))]
+# every committed taylor_green* fixture arms its own gate (same discovery
+# rule as the adv/wave fixtures above)
+TG_FIXTURES = sorted(
+    f[:-len("_model.chk")] for f in os.listdir(FIXDIR)
+    if f.startswith("taylor_green") and f.endswith("_model.chk")
+    and os.path.exists(os.path.join(FIXDIR, f[:-len("_model.chk")]
+                                    + "_pins.json"))
+) if os.path.isdir(FIXDIR) else []
 
 
 @pytest.mark.parametrize("base", TG_FIXTURES or ["taylor_green"])
