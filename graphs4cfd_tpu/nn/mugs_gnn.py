@@ -155,8 +155,13 @@ class NsTwoGuillardScaleGNN(MuGSGNN):
 
 
 class NsThreeGuillardScaleGNN(MuGSGNN):
-    PRETRAINED = {"3GS-GNN-NsCircle-v1":
-                  "NsMuGSGNN/NsThreeGuillardScaleGNN.chk"}
+    PRETRAINED = {
+        "3GS-GNN-NsCircle-v1": "NsMuGSGNN/NsThreeGuillardScaleGNN.chk",
+        # framework-trained (tools/train_taylor_green.py --family gmus
+        # --scales 3)
+        "3GS-GNN-TaylorGreen-TPU-v1":
+            "NsMuGSGNN/NsThreeGuillardScaleGNN_taylor_green_tpu.chk",
+    }
 
 
 class NsFourGuillardScaleGNN(MuGSGNN):
