@@ -248,7 +248,14 @@ class AdvTwoScaleGNN(MuSGNN):
 
 
 class AdvThreeScaleGNN(MuSGNN):
-    PRETRAINED = {"3S-GNN-UniformAdv-v1": "AdvMuSGNN/AdvThreeScaleGNN.chk"}
+    PRETRAINED = {
+        "3S-GNN-UniformAdv-v1": "AdvMuSGNN/AdvThreeScaleGNN.chk",
+        # framework-trained on the fast analytic advection demo (vel-max
+        # 2.0; see BASELINE.md round-5 — at this budget the 2-scale
+        # remains the best fast-advection model)
+        "3S-GNN-SynthAdv-TPU-v1":
+            "AdvMuSGNN/AdvThreeScaleGNN_synthadv_tpu.chk",
+    }
 
 
 class AdvFourScaleGNN(MuSGNN):
